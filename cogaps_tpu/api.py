@@ -1,0 +1,267 @@
+"""Top-level user API — the analog of the R CoGAPS()/scCoGAPS()/GWCoGAPS()
+entry points (reference: R/CoGAPS.R:90-236).
+
+``CoGAPS(data, params=None, n_patterns=..., ...)`` accepts a numpy array,
+a (data, uncertainty) pair, or a file path (csv/tsv/mtx/gct — reference:
+src/file_parser/FileParser.cpp:9-19), validates inputs
+(reference: R/HelperFunctions.R:194-249), dispatches standard vs
+distributed runs (reference: R/CoGAPS.R:145-151), and returns a
+CogapsResult.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+from .engine import EQUILIBRATION, SAMPLING, GapsEngine
+from .models import dense
+from .params import CogapsParams
+from .result import CogapsResult, finalize_statistics, mean_chi_sq
+from .utils import checkpoint as ckpt
+from .utils.logging import log_worker, log_message
+
+
+def _load_data(data, transpose: bool):
+    """Input coercion (reference: R/HelperFunctions.R:342-356 + file
+    dispatch in R/CoGAPS.R:145-151)."""
+    gene_names = sample_names = None
+    if isinstance(data, str):
+        from .io import parsers
+        mat, row_names, col_names = parsers.read_matrix(data)
+        gene_names, sample_names = row_names, col_names
+    else:
+        mat = np.asarray(data, dtype=np.float32)
+        if hasattr(data, "index") and hasattr(data, "columns"):  # DataFrame
+            gene_names = [str(x) for x in data.index]
+            sample_names = [str(x) for x in data.columns]
+    if mat.ndim != 2:
+        raise ValueError("data must be a 2-D matrix")
+    if transpose:
+        mat = mat.T
+        gene_names, sample_names = sample_names, gene_names
+    return np.ascontiguousarray(mat, np.float32), gene_names, sample_names
+
+
+def _check_inputs(D: np.ndarray, uncertainty, params: CogapsParams) -> None:
+    """Validation rules (reference: R/HelperFunctions.R:194-249)."""
+    if np.isnan(D).any():
+        raise ValueError("NA values in data")
+    if (D < 0).any():
+        raise ValueError("negative values in data matrix")
+    if params.sparse_optimization and uncertainty is not None:
+        raise ValueError(
+            "must use default uncertainty when enabling sparseOptimization")
+    if uncertainty is not None:
+        unc = np.asarray(uncertainty, np.float32)
+        if unc.shape != D.shape:
+            raise ValueError("uncertainty is not the same dimension as the data")
+        if (unc < 0).any():
+            raise ValueError("negative values in uncertainty matrix")
+        if (unc < 1e-5).any():
+            raise ValueError("small values in uncertainty matrix detected")
+    if params.n_patterns >= min(D.shape):
+        if min(D.shape) > 1:
+            raise ValueError(
+                "nPatterns must be less than the smaller data dimension")
+
+
+def CoGAPS(
+    data: Union[np.ndarray, str],
+    params: Optional[CogapsParams] = None,
+    n_patterns: Optional[int] = None,
+    n_iterations: Optional[int] = None,
+    uncertainty: Optional[np.ndarray] = None,
+    seed: Optional[int] = None,
+    transpose_data: bool = False,
+    messages: bool = True,
+    gene_names: Optional[Sequence[str]] = None,
+    sample_names: Optional[Sequence[str]] = None,
+    checkpoint_in_file: Optional[str] = None,
+    **kwargs,
+) -> CogapsResult:
+    """Run CoGAPS (reference: R/CoGAPS.R:90-171)."""
+    params = dataclasses.replace(params) if params is not None else CogapsParams()
+    if n_patterns is not None:
+        params.n_patterns = int(n_patterns)
+    if n_iterations is not None:
+        params.n_iterations = int(n_iterations)
+    if seed is not None:
+        params.seed = int(seed)
+    if transpose_data:
+        params.transpose_data = True
+    if checkpoint_in_file is not None:
+        params.checkpoint_in_file = checkpoint_in_file
+    params.print_messages = messages
+    for key, val in kwargs.items():
+        setattr(params, key if hasattr(params, key)
+                else params._PARAM_ALIASES.get(key, key), val)
+    params.validate()
+
+    D, file_genes, file_samples = _load_data(data, params.transpose_data)
+    gene_names = list(gene_names) if gene_names is not None else file_genes
+    sample_names = (list(sample_names) if sample_names is not None
+                    else file_samples)
+    if gene_names is None:
+        gene_names = [f"Gene_{i+1}" for i in range(D.shape[0])]
+    if sample_names is None:
+        sample_names = [f"Sample_{i+1}" for i in range(D.shape[1])]
+    _check_inputs(D, uncertainty, params)
+
+    if params.distributed is not None:
+        from .parallel.distributed import distributed_cogaps
+        return distributed_cogaps(D, params, uncertainty,
+                                  gene_names, sample_names)
+
+    return _run_single(D, params, uncertainty, gene_names, sample_names)
+
+
+def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
+                gene_names, sample_names) -> CogapsResult:
+    """One full engine run — the analog of cogaps_cpp + gaps::run
+    (reference: src/Cogaps.cpp:141-215, src/GapsRunner.cpp:380-503)."""
+    # a resumed run restores the original seed regardless of the seed
+    # argument (reference: GapsRunner.cpp:100-106;
+    # tests/testthat/test_checkpoints.R:9-15)
+    if params.checkpoint_in_file:
+        seed = ckpt.checkpoint_seed(params.checkpoint_in_file)
+    else:
+        seed = params.resolved_seed()
+    config = params.engine_config(D.shape[0], D.shape[1])
+    if params.sparse_optimization:
+        from .models.sparse import SparseGapsEngine
+        engine = SparseGapsEngine(D, config)
+    else:
+        engine = GapsEngine(D, uncertainty, config)
+
+    if params.print_messages and not params.running_distributed:
+        log_message(
+            f"Data Model: {'Sparse' if params.sparse_optimization else 'Dense'},"
+            f" Normal\nSampler Type: Batched\n"
+            f"nPatterns: {config.n_patterns}, nIterations: {config.n_iterations},"
+            f" seed: {seed}")
+        if not params.sparse_optimization and engine.data_sparsity > 0.80:
+            log_message("Warning: data is more than 80% sparse and "
+                        "sparseOptimization is not enabled")
+
+    import jax
+    seed_key = jax.random.PRNGKey(seed)
+
+    start = time.time()
+    if params.checkpoint_in_file:
+        state, stats, phase0, start_iter = ckpt.load_checkpoint(
+            params.checkpoint_in_file, engine)
+    else:
+        state = engine.init_state(params.fixed_patterns)
+        stats = engine.init_stats()
+        phase0, start_iter = EQUILIBRATION, 0
+
+    if params.running_distributed:
+        log_worker(params.worker_id, "is starting!")
+
+    # phase fallthrough supports resume in either phase
+    # (reference: GapsRunner.cpp:453-468)
+    for phase in (EQUILIBRATION, SAMPLING):
+        if phase < phase0:
+            continue
+        it0 = start_iter if phase == phase0 else 0
+        if params.checkpoint_interval > 0 and not params.subset_indices:
+            it = it0
+            while it < config.n_iterations:
+                stop = min(it + params.checkpoint_interval, config.n_iterations)
+                state, stats = _run_span(engine, state, stats, seed_key,
+                                         phase, it, stop)
+                it = stop
+                if it < config.n_iterations or phase == EQUILIBRATION:
+                    ckpt.save_checkpoint(params.checkpoint_out_file, engine,
+                                         state, stats, phase, it, seed)
+        else:
+            state, stats = engine.run_phase(state, stats, seed_key, phase, it0)
+
+    stats = jax.device_get(stats)
+    state = jax.device_get(state)
+    elapsed = time.time() - start
+
+    # the fixed matrix accumulates no statistics, so its mean/sd stay zero —
+    # matching the reference exactly (tests/testthat/test_fixed_matrix.R:29,
+    # 66: "expect all 0s in the fixed P matrix"); the fixed values are kept
+    # in diagnostics for convenience.
+    amean, asd, pmean, psd = finalize_statistics(
+        stats.a_sum, stats.a_sumsq, stats.p_sum, stats.p_sumsq, stats.n_stat)
+
+    # meanChiSq is zeroed for fixed-matrix runs (GapsRunner.cpp:478-485)
+    if params.which_matrix_fixed != "N":
+        mcs = 0.0
+    else:
+        S = (np.asarray(uncertainty, np.float32) if uncertainty is not None
+             else dense.default_uncertainty(D))
+        if params.sparse_optimization:
+            S = np.maximum(0.1 * D, 0.1)  # implied (GapsStatistics.cpp:106)
+        mcs = mean_chi_sq(amean, pmean, D, S)
+
+    total_updates = int(stats.upd_hi) * (1 << 30) + int(stats.upd_lo)
+    n_hist = stats.chisq_hist.shape[0]
+    diagnostics = {
+        "chisqHistory": np.asarray(stats.chisq_hist),
+        "atomHistoryA": np.asarray(stats.atom_hist_a),
+        "atomHistoryP": np.asarray(stats.atom_hist_p),
+        "totalUpdates": total_updates,
+        "totalRunningTime": elapsed,
+        "seed": seed,
+        "meanChiSq": mcs,
+        "nStatUpdates": int(stats.n_stat),
+        "equilibrationSnapshotsA": np.asarray(
+            stats.snap_a[:stats.snap_a.shape[0] // 2]),
+        "equilibrationSnapshotsP": np.asarray(
+            stats.snap_p[:stats.snap_p.shape[0] // 2]),
+        "samplingSnapshotsA": np.asarray(
+            stats.snap_a[stats.snap_a.shape[0] // 2:]),
+        "samplingSnapshotsP": np.asarray(
+            stats.snap_p[stats.snap_p.shape[0] // 2:]),
+    }
+    if params.take_pump_samples:
+        diagnostics["pumpMatrix"] = (
+            np.asarray(stats.pump) / max(int(stats.n_pump), 1))
+    if params.which_matrix_fixed != "N":
+        diagnostics["fixedPatterns"] = np.asarray(params.fixed_patterns,
+                                                  np.float32)
+        diagnostics["whichMatrixFixed"] = params.which_matrix_fixed
+    del n_hist
+
+    if params.running_distributed:
+        log_worker(params.worker_id, f"is finished! Time: {elapsed:.1f}s")
+    elif params.print_messages:
+        log_message(f"meanChiSq: {mcs:.1f}, totalUpdates: {total_updates}, "
+                    f"time: {elapsed:.1f}s")
+
+    pattern_names = [f"Pattern_{i+1}" for i in range(config.n_patterns)]
+    return CogapsResult(
+        Amean=np.asarray(amean, np.float32), Asd=np.asarray(asd, np.float32),
+        Pmean=np.asarray(pmean, np.float32), Psd=np.asarray(psd, np.float32),
+        mean_chi_sq=mcs, gene_names=gene_names, sample_names=sample_names,
+        pattern_names=pattern_names, diagnostics=diagnostics)
+
+
+def _run_span(engine, state, stats, seed_key, phase, start, stop):
+    """Run iterations [start, stop) of one phase (checkpoint chunking)."""
+    return engine.run_span(state, stats, seed_key, phase, start, stop)
+
+
+def scCoGAPS(data, params=None, **kwargs) -> CogapsResult:
+    """Single-cell CoGAPS: distributed across cell subsets
+    (reference: R/CoGAPS.R:173-211)."""
+    params = dataclasses.replace(params) if params is not None else CogapsParams()
+    params.distributed = "single-cell"
+    kwargs.setdefault("sparse_optimization", True)
+    return CoGAPS(data, params, **kwargs)
+
+
+def GWCoGAPS(data, params=None, **kwargs) -> CogapsResult:
+    """Genome-wide CoGAPS: distributed across gene subsets
+    (reference: R/CoGAPS.R:213-236)."""
+    params = dataclasses.replace(params) if params is not None else CogapsParams()
+    params.distributed = "genome-wide"
+    return CoGAPS(data, params, **kwargs)

@@ -1,0 +1,280 @@
+"""Vectorized conflict-free Gibbs proposal sweep.
+
+This is the TPU replacement for the reference's two execution engines:
+the sequential proposal loop (reference:
+src/gibbs_sampler/SingleThreadedGibbsSampler.h:114-257) and the
+ProposalQueue + OpenMP parallel-for machinery
+(reference: src/atomic/ProposalQueue.cpp:53-283,
+AsynchronousGibbsSampler.h:89-121).
+
+Parallelization argument (same as the reference's, SURVEY.md §2.3 P2): a
+proposal at factor element (r, c) reads only D/S/AP row r and partner
+column c, and writes only M[r, c] and AP row r. Proposals on *disjoint
+rows* therefore commute exactly — the likelihood factorizes across rows
+while the partner factor is frozen. The reference builds a serial queue of
+such proposals and replays conflicts via RNG rollback
+(ProposalQueue.cpp:169-232); we instead draw a wide batch of B candidate
+proposals with counter-based RNG, keep the first proposal per row and per
+touched atom (deterministic scatter-min priority), and evaluate + apply
+all survivors in one fused step. Like the reference's queue — which
+admits whole batches under a single atom-count window and inserts pending
+zero-mass births into the domain mid-batch (ProposalQueue.cpp:135-158,180)
+— all proposals within a batch use the batch-start atom count for the
+birth/death decision.
+
+Proposal kernels replicate SingleThreadedGibbsSampler.h exactly at the
+element level:
+  * type draw: always birth when n < 2; else u1<0.5 splits birth/death by
+    deathProb = n*L / (n*L + alpha*nBins*(L-n)); u1<0.75 move, else
+    exchange (h:95-111).
+  * birth (h:131-149): uniform element; Gibbs mass if the partner column
+    is non-zero (else Exp(lambda)); accept when mass > epsilon.
+  * death (h:154-188): uniform atom; attempted rebirth with Gibbs mass at
+    the atom-removed state; accept rebirth iff log U < m*(s_mu - s*m/2),
+    else the atom dies.
+  * move (h:192-223): uniform atom relocated to a uniform element
+    (design delta: the reference proposes uniformly between domain
+    neighbors; both proposals are symmetric w.r.t. the position-uniform
+    atomic prior, so the stationary distribution is unchanged — ours
+    mixes globally). Same-element moves auto-accept (a no-op here).
+  * exchange (h:228-257): Gibbs mass transfer between the atom and a
+    partner atom (design delta: partner is a uniform *other* atom rather
+    than the domain successor — pair selection is measurable w.r.t. the
+    non-resampled state, so the Gibbs step is unchanged). Same-element
+    exchanges are ignored (h:242).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import dense
+from ..ops import rng as gaps_rng
+from ..ops.atoms import AtomTable, compact
+
+
+class SamplerConsts(NamedTuple):
+    """Static per-sampler constants (trace-time)."""
+
+    n_rows: int  # rows of the factor being sampled (genes for A, samples for P)
+    m: int  # reduction length (the other dimension)
+    k: int  # n_patterns
+    n_bins: int  # n_rows * k
+    capacity: int  # atom table capacity
+    batch: int  # proposal batch width B
+    alpha: float
+    lam: float  # lambda of the mass prior
+    max_gibbs_mass: float  # already scaled by 1/lambda
+    domain_length: float  # binLength * nBins with binLength = 2^64 // nBins
+
+
+def make_consts(n_rows: int, m: int, k: int, capacity: int, batch: int,
+                alpha: float, lam: float, max_gibbs_mass: float) -> SamplerConsts:
+    n_bins = n_rows * k
+    bin_length = (2**64) // n_bins
+    return SamplerConsts(
+        n_rows=n_rows, m=m, k=k, n_bins=n_bins, capacity=capacity,
+        batch=batch, alpha=alpha, lam=lam, max_gibbs_mass=max_gibbs_mass,
+        domain_length=float(bin_length * n_bins),
+    )
+
+
+def death_prob(n_f32: jnp.ndarray, consts: SamplerConsts) -> jnp.ndarray:
+    """deathProb = n*L / (n*L + alpha*nBins*(L-n))
+    (reference: SingleThreadedGibbsSampler.h:105-108)."""
+    numer = n_f32 * consts.domain_length
+    denom = numer + consts.alpha * consts.n_bins * (consts.domain_length - n_f32)
+    return numer / denom
+
+
+def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
+          cache: dense.DenseCache, phase: dense.DensePhase,
+          invS2: jnp.ndarray, temp: jnp.ndarray, remaining: jnp.ndarray,
+          consts: SamplerConsts
+          ) -> Tuple[AtomTable, jnp.ndarray, dense.DenseCache, jnp.ndarray]:
+    """One batched proposal sweep. Returns (atoms, M, cache, n_processed)."""
+    B = consts.batch
+    C = consts.capacity
+    NR = consts.n_rows
+    K = consts.k
+    NB = consts.n_bins
+    EPS = gaps_rng.EPSILON
+
+    idx = jnp.arange(B, dtype=jnp.int32)
+    n = atoms.n
+
+    ku = jax.random.split(key, 8)
+    u1 = jax.random.uniform(ku[0], (B,), jnp.float32)
+    u2 = jax.random.uniform(ku[1], (B,), jnp.float32)
+    u_gibbs = jax.random.uniform(ku[2], (B,), jnp.float32)
+    u_exp = jax.random.uniform(ku[3], (B,), jnp.float32)
+    u_acc = jax.random.uniform(ku[4], (B,), jnp.float32)
+
+    active = idx < jnp.minimum(remaining, B)
+
+    # ---- proposal types (reference: SingleThreadedGibbsSampler.h:95-111) ----
+    small = n < 2
+    dp = death_prob(n.astype(jnp.float32), consts)
+    is_bd = u1 < 0.5
+    is_death = active & is_bd & (u2 < dp) & ~small
+    is_birth = active & ((is_bd & (u2 >= dp)) | small)
+    is_move = active & ~small & (u1 >= 0.5) & (u1 < 0.75)
+    is_exch = active & ~small & (u1 >= 0.75)
+
+    # ---- picks ----
+    n_c = jnp.maximum(n, 1)
+    a1 = jax.random.randint(ku[5], (B,), 0, n_c, jnp.int32)
+    a2r = jax.random.randint(ku[6], (B,), 0, jnp.maximum(n - 1, 1), jnp.int32)
+    a2 = a2r + (a2r >= a1).astype(jnp.int32)  # uniform over atoms != a1
+    e_rand = jax.random.randint(ku[7], (B, 2), 0, NB, jnp.int32)
+    e_birth = e_rand[:, 0]
+    e_move = e_rand[:, 1]
+
+    elem1 = jnp.where(is_birth, e_birth, jnp.maximum(atoms.elem[a1], 0))
+    m1 = jnp.where(is_birth, 0.0, atoms.mass[a1])
+    elem2 = jnp.where(is_move, e_move, jnp.maximum(atoms.elem[a2], 0))
+    m2 = atoms.mass[a2]
+    r1 = elem1 // K
+    c1 = elem1 - r1 * K
+    r2 = elem2 // K
+    c2 = elem2 - r2 * K
+    uses2 = is_move | is_exch
+    uses_a1 = is_death | is_move | is_exch
+
+    # ---- conflict resolution: first proposal per row / per atom wins ----
+    # (replaces ProposalQueue's mUsedMatrixIndices / mUsedAtoms hash sets,
+    #  reference: ProposalQueue.h:58-61, cpp:175-232)
+    w_rows = jnp.full((NR + 1,), B, jnp.int32)
+    w_rows = w_rows.at[jnp.where(active, r1, NR)].min(idx)
+    w_rows = w_rows.at[jnp.where(uses2, r2, NR)].min(idx)
+    keep = active & (w_rows[r1] == idx)
+    keep &= jnp.where(uses2, w_rows[r2] == idx, True)
+
+    w_atoms = jnp.full((C + 1,), B, jnp.int32)
+    w_atoms = w_atoms.at[jnp.where(uses_a1, a1, C)].min(idx)
+    w_atoms = w_atoms.at[jnp.where(is_exch, a2, C)].min(idx)
+    keep &= jnp.where(uses_a1, w_atoms[a1] == idx, True)
+    keep &= jnp.where(is_exch, w_atoms[a2] == idx, True)
+
+    # capacity guard (conservative pre-rank), then exact budget truncation
+    pre_birth_rank = jnp.cumsum((keep & is_birth).astype(jnp.int32))
+    keep &= jnp.where(is_birth, n + pre_birth_rank - 1 < C, True)
+    rank = jnp.cumsum(keep.astype(jnp.int32))
+    keep &= rank <= remaining
+
+    is_birth &= keep
+    is_death &= keep
+    is_move &= keep
+    is_exch &= keep
+
+    # ---- evaluate alpha parameters for all survivors ----
+    ab = dense.alpha_batch(cache, phase, invS2, r1, c1, r2, c2)
+    can1 = phase.col_nz[c1]
+    can2 = phase.col_nz[c2]
+    log_u = gaps_rng.log_uniform(u_acc)
+
+    # birth lane (reference: SingleThreadedGibbsSampler.h:131-149)
+    b_s = ab.s1 * temp
+    b_smu = ab.smu1 * temp
+    g_mass, g_ok = gaps_rng.gibbs_mass(u_gibbs, b_s, b_smu, 0.0,
+                                       consts.max_gibbs_mass, consts.lam)
+    e_mass = gaps_rng.exponential(u_exp, consts.lam)
+    b_mass = jnp.where(can1, g_mass, e_mass)
+    b_has = jnp.where(can1, g_ok, True)
+    birth_acc = is_birth & b_has & (b_mass > EPS)
+
+    # death lane (h:154-188); withChange(-m1): s_mu' = s_mu + m1*s
+    d_s = ab.s1 * temp
+    d_smu = (ab.smu1 + m1 * ab.s1) * temp
+    d_gm, d_gok = gaps_rng.gibbs_mass(u_gibbs, d_s, d_smu, 0.0,
+                                      consts.max_gibbs_mass, consts.lam)
+    rebirth = jnp.where(can1 & d_gok, d_gm, m1)
+    dll_death = rebirth * (d_smu - d_s * rebirth * 0.5)
+    death_rebirth = is_death & (log_u < dll_death)
+    death_kill = is_death & ~(log_u < dll_death)
+
+    # move lane (h:192-223)
+    same_elem = elem1 == elem2
+    p_s = ab.s_pair * temp
+    p_smu = ab.smu_pair * temp
+    dll_move = -m1 * (p_smu + p_s * m1 * 0.5)
+    move_acc = is_move & ~same_elem & (log_u < dll_move)
+
+    # exchange lane (h:228-257); gibbsMass without lambda, bounds (-m1, m2)
+    x_mass, x_ok = gaps_rng.gibbs_mass(u_gibbs, p_s, p_smu, -m1, m2)
+    nm1 = m1 + x_mass
+    nm2 = m2 - x_mass
+    ex_acc = is_exch & ~same_elem & (can1 | can2) & x_ok & (nm1 > EPS) & (nm2 > EPS)
+
+    # ---- apply matrix changes (each element touched at most once; clamped
+    # like safelyChangeMatrix, reference: DenseNormalModel.cpp:117-123) ----
+    d1 = jnp.where(birth_acc, b_mass, 0.0)
+    d1 = jnp.where(death_kill, -m1, d1)
+    d1 = jnp.where(death_rebirth, rebirth - m1, d1)
+    d1 = jnp.where(move_acc, -m1, d1)
+    d1 = jnp.where(ex_acc, nm1 - m1, d1)
+    v1 = birth_acc | death_kill | death_rebirth | move_acc | ex_acc
+    d2 = jnp.where(move_acc, m1, 0.0)
+    d2 = jnp.where(ex_acc, nm2 - m2, d2)
+    v2 = move_acc | ex_acc
+
+    up_r = jnp.concatenate([r1, r2])
+    up_c = jnp.concatenate([c1, c2])
+    up_d = jnp.concatenate([d1, d2])
+    up_v = jnp.concatenate([v1, v2])
+    old = M[up_r, up_c]
+    actual = jnp.where(up_v, jnp.maximum(old + up_d, 0.0) - old, 0.0)
+    up_r_safe = jnp.where(up_v, up_r, NR)
+    M = M.at[up_r_safe, up_c].add(actual, mode="drop")
+    cache = dense.apply_updates(cache, phase, invS2, up_r_safe, up_c, actual)
+
+    # ---- apply atom changes ----
+    write_a1 = death_kill | death_rebirth | move_acc | ex_acc
+    a1_idx = jnp.where(write_a1, a1, C)
+    mass_v1 = jnp.where(death_kill, 0.0,
+                        jnp.where(death_rebirth, rebirth,
+                                  jnp.where(ex_acc, nm1, m1)))
+    elem_v1 = jnp.where(death_kill, -1, jnp.where(move_acc, elem2, elem1))
+    mass_arr = atoms.mass.at[a1_idx].set(mass_v1, mode="drop")
+    elem_arr = atoms.elem.at[a1_idx].set(elem_v1, mode="drop")
+    a2_idx = jnp.where(ex_acc, a2, C)
+    mass_arr = mass_arr.at[a2_idx].set(nm2, mode="drop")
+
+    birth_rank = jnp.cumsum(birth_acc.astype(jnp.int32))
+    b_idx = jnp.where(birth_acc, n + birth_rank - 1, C)
+    mass_arr = mass_arr.at[b_idx].set(b_mass, mode="drop")
+    elem_arr = elem_arr.at[b_idx].set(e_birth, mode="drop")
+
+    n_new = (n + jnp.sum(birth_acc.astype(jnp.int32))
+             - jnp.sum(death_kill.astype(jnp.int32)))
+    atoms = compact(mass_arr, elem_arr, n_new)
+
+    n_processed = jnp.sum(keep.astype(jnp.int32))
+    return atoms, M, cache, n_processed
+
+
+def run_updates(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
+                cache: dense.DenseCache, phase: dense.DensePhase,
+                invS2: jnp.ndarray, temp: jnp.ndarray, n_steps: jnp.ndarray,
+                consts: SamplerConsts):
+    """Process `n_steps` proposals in batched sweeps — the analog of
+    GibbsSampler::update(nSteps, nThreads) (reference:
+    AsynchronousGibbsSampler.h:89-121). Progress is guaranteed: the first
+    active proposal of every sweep survives conflict resolution."""
+
+    def cond(carry):
+        return carry[0] < n_steps
+
+    def body(carry):
+        done, i, atoms, M, cache = carry
+        k = jax.random.fold_in(key, i)
+        atoms, M, cache, n_proc = sweep(
+            k, atoms, M, cache, phase, invS2, temp, n_steps - done, consts)
+        return (done + n_proc, i + 1, atoms, M, cache)
+
+    init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), atoms, M, cache)
+    done, n_sweeps, atoms, M, cache = jax.lax.while_loop(cond, body, init)
+    return atoms, M, cache, done, n_sweeps

@@ -1,0 +1,249 @@
+"""Distributed CoGAPS: subset -> factorize -> consensus -> fixed re-solve.
+
+TPU-native equivalent of the reference's R-side fork-based orchestration
+(reference: R/DistributedCogaps.R:48-119):
+
+  phase 1: partition the long axis (genes for genome-wide, samples for
+           single-cell) into nSets subsets and run a full independent chain
+           on each (reference forks one C++ engine per subset;
+           R/DistributedCogaps.R:64-67);
+  match:   consensus patternMatch of the gathered (tiny) short-axis factor
+           matrices — complete-linkage clustering of 1-cor distance, drop
+           clusters < minNS, split > maxNS, cor^3-weighted means rescaled
+           to max 1 (R/DistributedCogaps.R:129-217);
+  phase 2: re-run every subset with the consensus matrix *fixed*
+           (whichMatrixFixed = 'P' for genome-wide, 'A' for single-cell;
+           R/DistributedCogaps.R:86-97) — embarrassingly parallel;
+  stitch:  concatenate the free factor across subsets, re-order to the
+           original index order when the subsets form a permutation, sum
+           meanChiSq (R/DistributedCogaps.R:226-278).
+
+On TPU the subset chains are data-parallel: with multiple devices each
+chain's engine run is dispatched on its own device (chains are independent,
+zero communication until the tiny consensus gather); on one device they
+time-share. The consensus step is O(nSets^2 k^2) on host — negligible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..params import CogapsParams
+from ..result import CogapsResult
+from ..utils.logging import log_message
+from .clustering import corr_to_mean_pattern, pattern_match
+
+
+# ----------------------------------------------------------------------
+# subset creation (reference: R/SubsetData.R)
+# ----------------------------------------------------------------------
+def create_sets(n_total: int, params: CogapsParams,
+                rng: np.random.Generator,
+                names: Optional[Sequence[str]] = None) -> List[np.ndarray]:
+    """Partition indices [0, n_total) into nSets subsets (reference:
+    R/SubsetData.R:85-116). Explicit sets may be index lists (0-based here;
+    the reference uses R's 1-based) or name lists."""
+    if params.explicit_sets is not None:
+        if len(params.explicit_sets) != params.n_sets:
+            raise ValueError("nSets does not match number of explicit sets")
+        sets = []
+        for s in params.explicit_sets:
+            s = list(s)
+            if s and isinstance(s[0], str):
+                if names is None:
+                    raise ValueError("named explicit sets require names")
+                name_ix = {n: i for i, n in enumerate(names)}
+                missing = [x for x in s if x not in name_ix]
+                if missing:
+                    raise ValueError(
+                        f"some named entries in explicit_sets not found: "
+                        f"{missing[:5]}")
+                sets.append(np.asarray([name_ix[x] for x in s], np.int64))
+            else:
+                ix = np.asarray(s, np.int64)
+                if ix.min() < 0 or ix.max() >= n_total:
+                    raise ValueError("explicit set index out of range")
+                sets.append(ix)
+        return sets
+
+    set_size = n_total // params.n_sets
+    if params.sampling_annotation is not None:
+        # weighted sampling with replacement by annotation group
+        # (reference: R/SubsetData.R:36-54)
+        annot = np.asarray(params.sampling_annotation)
+        if len(annot) != n_total:
+            raise ValueError("samplingAnnotation length must match data")
+        weight = dict(params.sampling_weight or {})
+        groups = np.unique(annot)
+        probs = np.asarray([float(weight.get(g, 0.0)) for g in groups])
+        if probs.sum() <= 0:
+            raise ValueError("sampling weights must have positive sum")
+        probs = probs / probs.sum()
+        sets = []
+        for _ in range(params.n_sets):
+            group_draw = rng.choice(len(groups), size=set_size, p=probs)
+            chosen = []
+            for gi, g in enumerate(groups):
+                cnt = int((group_draw == gi).sum())
+                if cnt == 0:
+                    continue
+                pool = np.where(annot == g)[0]
+                chosen.append(rng.choice(pool, size=cnt, replace=True))
+            sets.append(np.sort(np.concatenate(chosen)) if chosen
+                        else np.empty(0, np.int64))
+        return sets
+
+    # uniform partition without replacement (reference: R/SubsetData.R:63-75)
+    remaining = np.arange(n_total)
+    sets = []
+    for _ in range(params.n_sets - 1):
+        sel = rng.choice(remaining, size=set_size, replace=False)
+        sets.append(np.sort(sel))
+        remaining = np.setdiff1d(remaining, sel)
+    sets.append(np.sort(remaining))
+    return sets
+
+
+# ----------------------------------------------------------------------
+# orchestration
+# ----------------------------------------------------------------------
+def _subset_run_params(params: CogapsParams, genome_wide: bool,
+                       subset: np.ndarray, worker_id: int) -> CogapsParams:
+    """Per-worker parameter clone (reference: R/DistributedCogaps.R:12-35)."""
+    p = dataclasses.replace(params)
+    p.distributed = None
+    p.subset_indices = subset.tolist()
+    p.subset_dim = 1 if genome_wide else 2
+    p.worker_id = worker_id
+    p.running_distributed = True
+    p.checkpoint_interval = 0  # checkpoints disabled when subsetting
+    return p
+
+
+def distributed_cogaps(D: np.ndarray, params: CogapsParams, uncertainty,
+                       gene_names: Sequence[str],
+                       sample_names: Sequence[str]) -> CogapsResult:
+    """Run CoGAPS across data subsets and stitch the results back together
+    (reference: R/DistributedCogaps.R:48-119)."""
+    from ..api import _run_single
+
+    genome_wide = params.distributed == "genome-wide"
+    n_total = D.shape[0] if genome_wide else D.shape[1]
+    rng = np.random.default_rng(params.resolved_seed())
+    names = gene_names if genome_wide else sample_names
+    sets = create_sets(n_total, params, rng, names)
+    if min(len(s) for s in sets) < params.n_patterns:
+        raise ValueError("data subset dimension less than nPatterns")
+    if params.print_messages:
+        sizes = [len(s) for s in sets]
+        log_message(f"Creating subsets...\nset sizes (min, mean, max): "
+                    f"({min(sizes)}, {np.mean(sizes):.1f}, {max(sizes)})")
+
+    unc = np.asarray(uncertainty, np.float32) if uncertainty is not None else None
+
+    def run_subset(i: int, subset: np.ndarray,
+                   fixed: Optional[np.ndarray]) -> CogapsResult:
+        p = _subset_run_params(params, genome_wide, subset, i + 1)
+        if genome_wide:
+            d = D[subset, :]
+            u = unc[subset, :] if unc is not None else None
+            g = [gene_names[j] for j in subset]
+            s = list(sample_names)
+        else:
+            d = D[:, subset]
+            u = unc[:, subset] if unc is not None else None
+            g = list(gene_names)
+            s = [sample_names[j] for j in subset]
+        if fixed is not None:
+            p.n_patterns = fixed.shape[1]
+            p.fixed_patterns = fixed
+            p.which_matrix_fixed = "P" if genome_wide else "A"
+        # same seed for every worker like the reference's forked params
+        return _run_single(d, p, u, g, s)
+
+    diagnostics = {}
+    if params.fixed_patterns is None:
+        if params.print_messages:
+            log_message("Running Across Subsets...")
+        initial = [run_subset(i, s, None) for i, s in enumerate(sets)]
+        # gather the short-axis factor from every subset chain: Pmean for
+        # genome-wide, Amean for single-cell (R/DistributedCogaps.R:71-74)
+        unmatched = [(r.Pmean if genome_wide else r.Amean) for r in initial]
+        all_patterns = np.concatenate(unmatched, axis=1)
+        if params.print_messages:
+            log_message("Matching Patterns Across Subsets...")
+        clusters, consensus = pattern_match(
+            all_patterns, params.resolved_cut(), params.resolved_min_ns(),
+            params.resolved_max_ns())
+        diagnostics["unmatchedPatterns"] = unmatched
+        diagnostics["clusteredPatterns"] = clusters
+        diagnostics["CorrToMeanPattern"] = [
+            corr_to_mean_pattern(c) for c in clusters]
+    else:
+        consensus = np.asarray(params.fixed_patterns, np.float32)
+
+    if params.print_messages:
+        log_message("Running Final Stage...")
+    final = [run_subset(i, s, consensus) for i, s in enumerate(sets)]
+
+    result = stitch_together(final, sets, genome_wide, gene_names,
+                             sample_names)
+    result.diagnostics.update(diagnostics)
+    result.diagnostics["consensusPatterns"] = consensus
+    if genome_wide:
+        result.diagnostics["subsets"] = [
+            [gene_names[j] for j in s] for s in sets]
+    else:
+        result.diagnostics["subsets"] = [
+            [sample_names[j] for j in s] for s in sets]
+    return result
+
+
+def stitch_together(results: List[CogapsResult], sets: List[np.ndarray],
+                    genome_wide: bool, gene_names, sample_names
+                    ) -> CogapsResult:
+    """Concatenate per-subset results (reference:
+    R/DistributedCogaps.R:226-278)."""
+    set_indices = np.concatenate(sets)
+
+    def reorder(mat: np.ndarray, sd: np.ndarray, names: List[str]):
+        if mat.shape[0] == len(set_indices):
+            indices = np.arange(mat.shape[0])
+            if np.array_equal(np.sort(indices), np.sort(set_indices)):
+                ro = np.argsort(set_indices, kind="stable")
+                # match(indices, setIndices): position of each index in
+                # setIndices — argsort of a permutation gives exactly that
+                return mat[ro], sd[ro], [names[i] for i in set_indices[ro]]
+        return mat, sd, names
+
+    if genome_wide:
+        amean = np.concatenate([r.Amean for r in results], axis=0)
+        asd = np.concatenate([r.Asd for r in results], axis=0)
+        cat_genes = [g for r in results for g in r.gene_names]
+        amean, asd, cat_genes = reorder(amean, asd, cat_genes)
+        pmean = results[0].Pmean
+        psd = np.zeros_like(pmean)
+        genes, samples = cat_genes, list(sample_names)
+    else:
+        pmean = np.concatenate([r.Pmean for r in results], axis=0)
+        psd = np.concatenate([r.Psd for r in results], axis=0)
+        cat_samples = [s for r in results for s in r.sample_names]
+        pmean, psd, cat_samples = reorder(pmean, psd, cat_samples)
+        amean = results[0].Amean
+        asd = np.zeros_like(amean)
+        genes, samples = list(gene_names), cat_samples
+
+    mean_chi_sq = float(sum(r.mean_chi_sq for r in results))
+    k = amean.shape[1]
+    return CogapsResult(
+        Amean=amean, Asd=asd, Pmean=pmean, Psd=psd,
+        mean_chi_sq=mean_chi_sq, gene_names=genes, sample_names=samples,
+        pattern_names=[f"Pattern_{i+1}" for i in range(k)],
+        diagnostics={"meanChiSq": mean_chi_sq,
+                     "totalUpdates": sum(
+                         r.diagnostics.get("totalUpdates", 0)
+                         for r in results),
+                     "seed": results[0].diagnostics.get("seed")})

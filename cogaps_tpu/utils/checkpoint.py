@@ -1,0 +1,107 @@
+"""Checkpoint / resume.
+
+The reference serializes the complete sampler state (params, RNG seeder,
+both samplers' factor matrices and atomic domains, statistics accumulators,
+phase, iteration) to a versioned binary Archive with a .backup rename
+during the write (reference: src/GapsRunner.cpp:225-270,
+src/utils/Archive.h:16-17). Resume reproduces the run exactly even if a
+different seed argument is passed (tests/testthat/test_checkpoints.R:9-15).
+
+TPU version: the chain state is a flat pytree of arrays (factor matrices,
+atom tables, residual, statistics sums) plus three scalars (phase,
+iteration, seed) — the counter-based RNG needs no stored stream state, only
+the original seed, so resume-with-different-seed-argument exactness holds
+by construction. Written as npz with a magic/version field and the same
+.backup rename dance.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+MAGIC = 0xB123AA4D  # keep the reference's archive magic (Archive.h:16)
+VERSION = 1
+
+
+def save_checkpoint(path: str, engine, state, stats, phase: int,
+                    iteration: int, seed: int) -> None:
+    import jax
+    state = jax.device_get(state)
+    stats = jax.device_get(stats)
+    payload = {
+        "magic": np.uint32(MAGIC),
+        "version": np.uint32(VERSION),
+        "phase": np.int32(phase),
+        "iteration": np.int32(iteration),
+        "seed": np.int64(seed),
+        "n_genes": np.int32(engine.n_genes),
+        "n_samples": np.int32(engine.n_samples),
+        "n_patterns": np.int32(engine.config.n_patterns),
+        # chain state
+        "M_a": state.M_a, "M_p": state.M_p, "R": state.R,
+        "atoms_a_mass": state.atoms_a.mass, "atoms_a_elem": state.atoms_a.elem,
+        "atoms_a_n": state.atoms_a.n,
+        "atoms_p_mass": state.atoms_p.mass, "atoms_p_elem": state.atoms_p.elem,
+        "atoms_p_n": state.atoms_p.n,
+        # statistics
+        "a_sum": stats.a_sum, "a_sumsq": stats.a_sumsq,
+        "p_sum": stats.p_sum, "p_sumsq": stats.p_sumsq,
+        "n_stat": stats.n_stat, "pump": stats.pump, "n_pump": stats.n_pump,
+        "chisq_hist": stats.chisq_hist,
+        "atom_hist_a": stats.atom_hist_a, "atom_hist_p": stats.atom_hist_p,
+        "snap_a": stats.snap_a, "snap_p": stats.snap_p,
+        "upd_lo": stats.upd_lo, "upd_hi": stats.upd_hi,
+    }
+    # .backup rename during the write (reference: GapsRunner.cpp:232-243)
+    backup = path + ".backup"
+    if os.path.exists(path):
+        os.replace(path, backup)
+    with open(path, "wb") as f:
+        np.savez(f, **payload)
+    if os.path.exists(backup):
+        os.remove(backup)
+
+
+def load_checkpoint(path: str, engine) -> Tuple[object, object, int, int]:
+    from ..engine import ChainState, RunStats
+    from ..ops.atoms import AtomTable
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    if int(z["magic"]) != MAGIC:
+        raise ValueError(f"corrupt checkpoint file: {path}")
+    if (int(z["n_genes"]) != engine.n_genes
+            or int(z["n_samples"]) != engine.n_samples
+            or int(z["n_patterns"]) != engine.config.n_patterns):
+        raise ValueError("checkpoint does not match data dimensions")
+
+    state = ChainState(
+        atoms_a=AtomTable(mass=jnp.asarray(z["atoms_a_mass"]),
+                          elem=jnp.asarray(z["atoms_a_elem"]),
+                          n=jnp.asarray(z["atoms_a_n"])),
+        atoms_p=AtomTable(mass=jnp.asarray(z["atoms_p_mass"]),
+                          elem=jnp.asarray(z["atoms_p_elem"]),
+                          n=jnp.asarray(z["atoms_p_n"])),
+        M_a=jnp.asarray(z["M_a"]), M_p=jnp.asarray(z["M_p"]),
+        R=jnp.asarray(z["R"]))
+    stats = RunStats(
+        a_sum=jnp.asarray(z["a_sum"]), a_sumsq=jnp.asarray(z["a_sumsq"]),
+        p_sum=jnp.asarray(z["p_sum"]), p_sumsq=jnp.asarray(z["p_sumsq"]),
+        n_stat=jnp.asarray(z["n_stat"]), pump=jnp.asarray(z["pump"]),
+        n_pump=jnp.asarray(z["n_pump"]),
+        chisq_hist=jnp.asarray(z["chisq_hist"]),
+        atom_hist_a=jnp.asarray(z["atom_hist_a"]),
+        atom_hist_p=jnp.asarray(z["atom_hist_p"]),
+        snap_a=jnp.asarray(z["snap_a"]), snap_p=jnp.asarray(z["snap_p"]),
+        upd_lo=jnp.asarray(z["upd_lo"]), upd_hi=jnp.asarray(z["upd_hi"]))
+    return state, stats, int(z["phase"]), int(z["iteration"])
+
+
+def checkpoint_seed(path: str) -> int:
+    """The original run's seed, restored on resume regardless of the seed
+    argument (reference: GapsRunner.cpp:100-106 reloads params+randState
+    before anything else)."""
+    return int(np.load(path)["seed"])
