@@ -12,21 +12,24 @@ TPU-native equivalent of the reference's GapsRunner + GapsStatistics
   (DenseNormalModel.cpp:20-36);
 * posterior statistics with the per-pattern max normalization
   (GapsStatistics.h:130-149): P columns scaled to max 1, A columns scaled
-  inversely, accumulated as running sum and sum-of-squares;
+  inversely, accumulated as running sum and sum-of-squares; fixed-matrix
+  runs accumulate the free factor unnormalized (GapsStatistics.h:152-185);
 * chi-square and atom-count histories every outputFrequency iterations
   (GapsRunner.cpp:160-199), matrix snapshots (GapsRunner.cpp:316-322),
   PUMP counting (GapsStatistics.h:65-126), fixed-matrix mode
   (GapsRunner.cpp:330-350).
 
 The whole phase (all iterations, all sweeps) runs as ONE jitted
-lax.fori_loop — no per-iteration dispatch. Everything is vmap-able over
-chains.
+lax.fori_loop — no per-iteration dispatch. The iteration body is a pure
+module-level function over an explicit `DeviceData`, so the same code path
+serves the single-chip engine, vmapped multi-chain runs, and shard_map
+sharded runs (parallel/).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +39,7 @@ from flax import struct
 from .models import dense
 from .ops import rng as gaps_rng
 from .ops.atoms import AtomTable, init_atoms
-from .ops.sweep import SamplerConsts, make_consts, run_updates
+from .ops.sweep import MassParams, SamplerConsts, make_consts, run_updates
 from .params import EngineConfig
 
 EQUILIBRATION = 0
@@ -44,6 +47,27 @@ SAMPLING = 1
 
 _LO_BITS = 30
 _LO_MASK = (1 << _LO_BITS) - 1
+
+
+class DeviceData(NamedTuple):
+    """Device-resident dataset (both layouts, like the reference's
+    per-sampler transposed copies, GapsRunner.cpp:391-406) plus the
+    data-derived mass-prior parameters (runtime scalars so vmapped chains
+    over different subsets keep their own lambda)."""
+
+    D: jnp.ndarray  # (nGenes, nSamples)
+    invS2: jnp.ndarray  # (nGenes, nSamples) = 1/S^2
+    D_t: jnp.ndarray  # (nSamples, nGenes)
+    invS2_t: jnp.ndarray
+    mass_a: MassParams
+    mass_p: MassParams
+
+
+class HistConfig(NamedTuple):
+    """Static history/snapshot bookkeeping derived from EngineConfig."""
+
+    n_hist: int
+    snap_freq: int
 
 
 @struct.dataclass
@@ -73,6 +97,249 @@ class RunStats:
     upd_hi: jnp.ndarray  # () int32
 
 
+# ----------------------------------------------------------------------
+# pure iteration body (shared by single-chip / vmapped / sharded runners)
+# ----------------------------------------------------------------------
+def run_iteration(cfg: EngineConfig, consts_a: SamplerConsts,
+                  consts_p: SamplerConsts, hist: HistConfig, phase: int,
+                  data: DeviceData, it, state: ChainState, stats: RunStats,
+                  base_key) -> Tuple[ChainState, RunStats]:
+    """One MCMC iteration (reference: GapsRunner.cpp:273-325). Pure in
+    (data, it, state, stats, key); everything else is trace-time static.
+
+    Gene-sharded runs (consts_p.axis_name set, parallel/sharded.py):
+    the A sampler works on this device's row shard with a per-device
+    proposal stream; the P sampler runs identical replicated proposals on
+    every device with psum'd reductions over the sharded genes axis."""
+    fixed = cfg.which_matrix_fixed
+    n_genes = data.D.shape[0]
+    axis_name = consts_p.axis_name
+
+    key_it = jax.random.fold_in(jax.random.fold_in(base_key, phase), it)
+    kpa, kpp, kua, kup = jax.random.split(key_it, 4)
+    if axis_name is not None:
+        # per-device A-proposal stream over the local row shard
+        kua = jax.random.fold_in(kua, jax.lax.axis_index(axis_name))
+
+    if phase == EQUILIBRATION:
+        temp = jnp.minimum(
+            1.0, (2.0 * it.astype(jnp.float32)) / cfg.n_iterations)
+    else:
+        temp = jnp.float32(1.0)
+
+    n_a = gaps_rng.poisson(
+        kpa, jnp.maximum(state.atoms_a.n, 10).astype(jnp.float32))
+    n_p = gaps_rng.poisson(
+        kpp, jnp.maximum(state.atoms_p.n, 10).astype(jnp.float32))
+
+    R = state.R
+    if cfg.rebuild_interval > 0:
+        R = jax.lax.cond(
+            it % cfg.rebuild_interval == 0,
+            lambda: dense.rebuild_cache(data.D, data.invS2,
+                                        state.M_a, state.M_p).R,
+            lambda: R)
+
+    atoms_a, M_a = state.atoms_a, state.M_a
+    atoms_p, M_p = state.atoms_p, state.M_p
+    done_a = jnp.zeros((), jnp.int32)
+    done_p = jnp.zeros((), jnp.int32)
+
+    if fixed != "A":
+        phase_a = dense.make_phase(data.invS2, M_p,
+                                   axis_name=consts_a.axis_name)
+        model_a = dense.make_model(phase_a, data.invS2,
+                                   axis_name=consts_a.axis_name)
+        atoms_a, M_a, cache_a, done_a, _ = run_updates(
+            kua, atoms_a, M_a, dense.DenseCache(R), temp, n_a,
+            consts_a, data.mass_a, model=model_a)
+        R = cache_a.R
+    if fixed != "P":
+        phase_p = dense.make_phase(data.invS2_t, M_a,
+                                   axis_name=consts_p.axis_name)
+        model_p = dense.make_model(phase_p, data.invS2_t,
+                                   axis_name=consts_p.axis_name)
+        atoms_p, M_p, cache_p, done_p, _ = run_updates(
+            kup, atoms_p, M_p, dense.DenseCache(R.T), temp, n_p,
+            consts_p, data.mass_p, model=model_p)
+        R = cache_p.R.T
+
+    state = ChainState(atoms_a=atoms_a, atoms_p=atoms_p,
+                       M_a=M_a, M_p=M_p, R=R)
+
+    # totalUpdates accumulation (GapsRunner.cpp:297), 2^30-split counter
+    if axis_name is not None:
+        # A updates are per-shard; P updates are replicated (count once)
+        done_a = jax.lax.psum(done_a, axis_name)
+    inc = done_a + done_p
+    lo = stats.upd_lo + inc
+    stats = stats.replace(upd_lo=lo & _LO_MASK,
+                          upd_hi=stats.upd_hi + (lo >> _LO_BITS))
+
+    # posterior statistics in the sampling phase
+    # (GapsRunner.cpp:299-315, GapsStatistics.h:130-185)
+    if phase == SAMPLING:
+        if fixed == "A":
+            stats = stats.replace(
+                p_sum=stats.p_sum + M_p,
+                p_sumsq=stats.p_sumsq + M_p * M_p,
+                n_stat=stats.n_stat + 1)
+        elif fixed == "P":
+            stats = stats.replace(
+                a_sum=stats.a_sum + M_a,
+                a_sumsq=stats.a_sumsq + M_a * M_a,
+                n_stat=stats.n_stat + 1)
+        else:
+            norm = jnp.max(M_p, axis=0)
+            norm = jnp.where(norm == 0.0, 1.0, norm)
+            q = M_p / norm
+            prod = M_a * norm
+            stats = stats.replace(
+                p_sum=stats.p_sum + q, p_sumsq=stats.p_sumsq + q * q,
+                a_sum=stats.a_sum + prod,
+                a_sumsq=stats.a_sumsq + prod * prod,
+                n_stat=stats.n_stat + 1)
+            if cfg.take_pump_samples:
+                amax = jnp.argmax(M_a, axis=1)
+                stats = stats.replace(
+                    pump=stats.pump.at[
+                        jnp.arange(n_genes), amax].add(1.0),
+                    n_pump=stats.n_pump + 1)
+
+    # snapshots (GapsRunner.cpp:316-322); layout [equil block | sampling]
+    if hist.snap_freq > 0 and (
+            cfg.snapshot_phase == "all"
+            or (cfg.snapshot_phase == "equilibration" and phase == EQUILIBRATION)
+            or (cfg.snapshot_phase == "sampling" and phase == SAMPLING)):
+        take = (it + 1) % hist.snap_freq == 0
+        s_idx = (phase * cfg.n_snapshots + (it + 1) // hist.snap_freq - 1)
+        s_idx = jnp.where(take, s_idx, stats.snap_a.shape[0])
+        stats = stats.replace(
+            snap_a=stats.snap_a.at[s_idx].set(M_a, mode="drop"),
+            snap_p=stats.snap_p.at[s_idx].set(M_p, mode="drop"))
+
+    # chi^2 / atom-count history every outputFrequency
+    # (GapsRunner.cpp:160-199)
+    if hist.n_hist > 0:
+        rec = (it + 1) % cfg.output_frequency == 0
+        cs = jax.lax.cond(
+            rec,
+            lambda: dense.chisq(dense.DenseCache(R), data.invS2),
+            lambda: jnp.float32(0.0))
+        n_atoms_a = state.atoms_a.n
+        if axis_name is not None:
+            cs = jax.lax.psum(cs, axis_name)
+            n_atoms_a = jax.lax.psum(n_atoms_a, axis_name)
+        h_idx = (phase * (hist.n_hist // 2)
+                 + (it + 1) // cfg.output_frequency - 1)
+        h_idx = jnp.where(rec, h_idx, hist.n_hist)
+        stats = stats.replace(
+            chisq_hist=stats.chisq_hist.at[h_idx].set(cs, mode="drop"),
+            atom_hist_a=stats.atom_hist_a.at[h_idx].set(
+                n_atoms_a, mode="drop"),
+            atom_hist_p=stats.atom_hist_p.at[h_idx].set(
+                state.atoms_p.n, mode="drop"))
+
+    return state, stats
+
+
+def run_phase_span(cfg: EngineConfig, consts_a: SamplerConsts,
+                   consts_p: SamplerConsts, hist: HistConfig, phase: int,
+                   data: DeviceData, state: ChainState, stats: RunStats,
+                   seed_key, start_iter, stop_iter):
+    """Iterations [start, stop) of one phase as a single fori_loop."""
+
+    def body(it, carry):
+        st, sts = carry
+        return run_iteration(cfg, consts_a, consts_p, hist, phase,
+                             data, it, st, sts, seed_key)
+
+    return jax.lax.fori_loop(start_iter, stop_iter, body, (state, stats))
+
+
+def init_chain_state(cfg: EngineConfig, data: DeviceData,
+                     fixed_patterns=None) -> ChainState:
+    k = cfg.n_patterns
+    n_genes, n_samples = data.D.shape
+    M_a = jnp.zeros((n_genes, k), jnp.float32)
+    M_p = jnp.zeros((n_samples, k), jnp.float32)
+    if cfg.which_matrix_fixed == "A":
+        M_a = jnp.asarray(fixed_patterns, jnp.float32)
+    elif cfg.which_matrix_fixed == "P":
+        M_p = jnp.asarray(fixed_patterns, jnp.float32)
+    R = dense.rebuild_cache(data.D, data.invS2, M_a, M_p).R
+    return ChainState(
+        atoms_a=init_atoms(cfg.capacity_a),
+        atoms_p=init_atoms(cfg.capacity_p),
+        M_a=M_a, M_p=M_p, R=R)
+
+
+def init_run_stats(cfg: EngineConfig, n_genes: int, n_samples: int,
+                   hist: HistConfig) -> RunStats:
+    k = cfg.n_patterns
+    n_snap = 2 * cfg.n_snapshots if cfg.n_snapshots > 0 else 0
+    zi = jnp.zeros((), jnp.int32)
+    return RunStats(
+        a_sum=jnp.zeros((n_genes, k), jnp.float32),
+        a_sumsq=jnp.zeros((n_genes, k), jnp.float32),
+        p_sum=jnp.zeros((n_samples, k), jnp.float32),
+        p_sumsq=jnp.zeros((n_samples, k), jnp.float32),
+        n_stat=zi, pump=jnp.zeros((n_genes, k), jnp.float32), n_pump=zi,
+        chisq_hist=jnp.zeros((hist.n_hist,), jnp.float32),
+        atom_hist_a=jnp.zeros((hist.n_hist,), jnp.int32),
+        atom_hist_p=jnp.zeros((hist.n_hist,), jnp.int32),
+        snap_a=jnp.zeros((n_snap, n_genes, k), jnp.float32),
+        snap_p=jnp.zeros((n_snap, n_samples, k), jnp.float32),
+        upd_lo=zi, upd_hi=zi)
+
+
+def derive_hist(cfg: EngineConfig) -> HistConfig:
+    n_hist = (2 * (cfg.n_iterations // cfg.output_frequency)
+              if cfg.output_frequency > 0 else 0)
+    snap_freq = (cfg.n_iterations // cfg.n_snapshots
+                 if cfg.n_snapshots > 0 else 0)
+    return HistConfig(n_hist=n_hist, snap_freq=snap_freq)
+
+
+def prepare_device_data(D: np.ndarray, S: Optional[np.ndarray],
+                        cfg: EngineConfig) -> DeviceData:
+    D = np.asarray(D, np.float32)
+    if S is None:
+        S = dense.default_uncertainty(D)
+    S = np.asarray(S, np.float32)
+    if S.shape != D.shape:
+        raise ValueError("uncertainty shape must match data shape")
+    if np.any(S <= 0):
+        raise ValueError("uncertainty must be strictly positive")
+    if np.any(D < 0):
+        raise ValueError("negative values in data matrix")
+    Dj = jnp.asarray(D)
+    invS2 = jnp.asarray(1.0 / (S * S), jnp.float32)
+    k = cfg.n_patterns
+    lam_a = dense.compute_lambda(D, cfg.alpha_a, k)
+    lam_p = dense.compute_lambda(D, cfg.alpha_p, k)
+    mass_a = MassParams(lam=jnp.float32(lam_a),
+                        max_gibbs_mass=jnp.float32(cfg.max_gibbs_mass_a / lam_a))
+    mass_p = MassParams(lam=jnp.float32(lam_p),
+                        max_gibbs_mass=jnp.float32(cfg.max_gibbs_mass_p / lam_p))
+    return DeviceData(D=Dj, invS2=invS2, D_t=Dj.T, invS2_t=invS2.T,
+                      mass_a=mass_a, mass_p=mass_p)
+
+
+def build_consts(cfg: EngineConfig, n_genes: int, n_samples: int
+                 ) -> Tuple[SamplerConsts, SamplerConsts]:
+    k = cfg.n_patterns
+    consts_a = make_consts(n_genes, n_samples, k, cfg.capacity_a,
+                           cfg.batch_a, cfg.alpha_a)
+    consts_p = make_consts(n_samples, n_genes, k, cfg.capacity_p,
+                           cfg.batch_p, cfg.alpha_p)
+    return consts_a, consts_p
+
+
+# ----------------------------------------------------------------------
+# single-chip engine object (the analog of runCoGAPSAlgorithm,
+# GapsRunner.cpp:380-503)
+# ----------------------------------------------------------------------
 class GapsEngine:
     """Compiled dense-model engine for one dataset.
 
@@ -84,221 +351,52 @@ class GapsEngine:
     def __init__(self, D: np.ndarray, S: Optional[np.ndarray],
                  config: EngineConfig):
         D = np.asarray(D, np.float32)
-        if S is None:
-            S = dense.default_uncertainty(D)
-        S = np.asarray(S, np.float32)
-        if S.shape != D.shape:
-            raise ValueError("uncertainty shape must match data shape")
-        if np.any(S <= 0):
-            raise ValueError("uncertainty must be strictly positive")
-        if np.any(D < 0):
-            raise ValueError("negative values in data matrix")
         self.n_genes, self.n_samples = D.shape
         self.config = config
-        k = config.n_patterns
-        if k >= min(self.n_genes, self.n_samples) and min(self.n_genes, self.n_samples) > 1:
-            # reference rejects nPatterns > dims (R/HelperFunctions.R:226-230)
-            pass
-
-        lam_a = dense.compute_lambda(D, config.alpha_a, k)
-        lam_p = dense.compute_lambda(D, config.alpha_p, k)
-        self.lam_a, self.lam_p = lam_a, lam_p
-        self.consts_a: SamplerConsts = make_consts(
-            self.n_genes, self.n_samples, k, config.capacity_a, config.batch_a,
-            config.alpha_a, lam_a, config.max_gibbs_mass_a / lam_a)
-        self.consts_p: SamplerConsts = make_consts(
-            self.n_samples, self.n_genes, k, config.capacity_p, config.batch_p,
-            config.alpha_p, lam_p, config.max_gibbs_mass_p / lam_p)
-
-        self.D = jnp.asarray(D)
-        self.invS2 = jnp.asarray(1.0 / (S * S), jnp.float32)
-        self.D_t = self.D.T
-        self.invS2_t = self.invS2.T
+        self.data = prepare_device_data(D, S, config)
+        self.consts_a, self.consts_p = build_consts(
+            config, self.n_genes, self.n_samples)
+        self.lam_a = float(self.data.mass_a.lam)
+        self.lam_p = float(self.data.mass_p.lam)
         self.data_sparsity = float((D == 0).mean())
-
-        self._n_hist = (
-            2 * (config.n_iterations // config.output_frequency)
-            if config.output_frequency > 0 else 0)
-        self._snap_freq = (
-            config.n_iterations // config.n_snapshots if config.n_snapshots > 0 else 0)
+        self.hist = derive_hist(config)
 
         self._run_phase = jax.jit(
-            functools.partial(self._phase_impl),
-            static_argnames=("phase",),
-        )
+            functools.partial(run_phase_span, config, self.consts_a,
+                              self.consts_p, self.hist),
+            static_argnums=(0,))
+
+    # convenience accessors used by checkpointing / tests
+    @property
+    def D(self):
+        return self.data.D
+
+    @property
+    def invS2(self):
+        return self.data.invS2
 
     # ------------------------------------------------------------------
-    def init_state(self, fixed_patterns: Optional[np.ndarray] = None) -> ChainState:
-        cfg = self.config
-        k = cfg.n_patterns
-        M_a = jnp.zeros((self.n_genes, k), jnp.float32)
-        M_p = jnp.zeros((self.n_samples, k), jnp.float32)
-        if cfg.which_matrix_fixed == "A":
-            M_a = jnp.asarray(fixed_patterns, jnp.float32)
-        elif cfg.which_matrix_fixed == "P":
-            M_p = jnp.asarray(fixed_patterns, jnp.float32)
-        R = dense.rebuild_cache(self.D, self.invS2, M_a, M_p).R
-        return ChainState(
-            atoms_a=init_atoms(cfg.capacity_a),
-            atoms_p=init_atoms(cfg.capacity_p),
-            M_a=M_a, M_p=M_p, R=R)
+    def init_state(self, fixed_patterns: Optional[np.ndarray] = None
+                   ) -> ChainState:
+        return init_chain_state(self.config, self.data, fixed_patterns)
 
     def init_stats(self) -> RunStats:
-        cfg = self.config
-        G, S, k = self.n_genes, self.n_samples, cfg.n_patterns
-        n_snap = 2 * cfg.n_snapshots if cfg.n_snapshots > 0 else 0
-        zi = jnp.zeros((), jnp.int32)
-        return RunStats(
-            a_sum=jnp.zeros((G, k), jnp.float32),
-            a_sumsq=jnp.zeros((G, k), jnp.float32),
-            p_sum=jnp.zeros((S, k), jnp.float32),
-            p_sumsq=jnp.zeros((S, k), jnp.float32),
-            n_stat=zi, pump=jnp.zeros((G, k), jnp.float32), n_pump=zi,
-            chisq_hist=jnp.zeros((self._n_hist,), jnp.float32),
-            atom_hist_a=jnp.zeros((self._n_hist,), jnp.int32),
-            atom_hist_p=jnp.zeros((self._n_hist,), jnp.int32),
-            snap_a=jnp.zeros((n_snap, G, k), jnp.float32),
-            snap_p=jnp.zeros((n_snap, S, k), jnp.float32),
-            upd_lo=zi, upd_hi=zi)
-
-    # ------------------------------------------------------------------
-    def _iteration(self, it, state: ChainState, stats: RunStats,
-                   base_key, phase: int) -> Tuple[ChainState, RunStats]:
-        cfg = self.config
-        fixed = cfg.which_matrix_fixed
-
-        key_it = jax.random.fold_in(jax.random.fold_in(base_key, phase), it)
-        kpa, kpp, kua, kup = jax.random.split(key_it, 4)
-
-        if phase == EQUILIBRATION:
-            temp = jnp.minimum(
-                1.0, (2.0 * it.astype(jnp.float32)) / cfg.n_iterations)
-        else:
-            temp = jnp.float32(1.0)
-
-        n_a = gaps_rng.poisson(
-            kpa, jnp.maximum(state.atoms_a.n, 10).astype(jnp.float32))
-        n_p = gaps_rng.poisson(
-            kpp, jnp.maximum(state.atoms_p.n, 10).astype(jnp.float32))
-
-        R = state.R
-        if cfg.rebuild_interval > 0:
-            R = jax.lax.cond(
-                it % cfg.rebuild_interval == 0,
-                lambda: dense.rebuild_cache(self.D, self.invS2,
-                                            state.M_a, state.M_p).R,
-                lambda: R)
-
-        atoms_a, M_a = state.atoms_a, state.M_a
-        atoms_p, M_p = state.atoms_p, state.M_p
-        done_a = jnp.zeros((), jnp.int32)
-        done_p = jnp.zeros((), jnp.int32)
-
-        if fixed != "A":
-            phase_a = dense.make_phase(self.invS2, M_p)
-            atoms_a, M_a, cache_a, done_a, _ = run_updates(
-                kua, atoms_a, M_a, dense.DenseCache(R), phase_a,
-                self.invS2, temp, n_a, self.consts_a)
-            R = cache_a.R
-        if fixed != "P":
-            phase_p = dense.make_phase(self.invS2_t, M_a)
-            atoms_p, M_p, cache_p, done_p, _ = run_updates(
-                kup, atoms_p, M_p, dense.DenseCache(R.T), phase_p,
-                self.invS2_t, temp, n_p, self.consts_p)
-            R = cache_p.R.T
-
-        state = ChainState(atoms_a=atoms_a, atoms_p=atoms_p,
-                           M_a=M_a, M_p=M_p, R=R)
-
-        # totalUpdates accumulation (GapsRunner.cpp:297), 2^30-split counter
-        inc = done_a + done_p
-        lo = stats.upd_lo + inc
-        stats = stats.replace(upd_lo=lo & _LO_MASK,
-                              upd_hi=stats.upd_hi + (lo >> _LO_BITS))
-
-        # posterior statistics in the sampling phase
-        # (GapsRunner.cpp:299-315, GapsStatistics.h:130-185)
-        if phase == SAMPLING:
-            if fixed == "A":
-                stats = stats.replace(
-                    p_sum=stats.p_sum + M_p,
-                    p_sumsq=stats.p_sumsq + M_p * M_p,
-                    n_stat=stats.n_stat + 1)
-            elif fixed == "P":
-                stats = stats.replace(
-                    a_sum=stats.a_sum + M_a,
-                    a_sumsq=stats.a_sumsq + M_a * M_a,
-                    n_stat=stats.n_stat + 1)
-            else:
-                norm = jnp.max(M_p, axis=0)
-                norm = jnp.where(norm == 0.0, 1.0, norm)
-                q = M_p / norm
-                prod = M_a * norm
-                stats = stats.replace(
-                    p_sum=stats.p_sum + q, p_sumsq=stats.p_sumsq + q * q,
-                    a_sum=stats.a_sum + prod,
-                    a_sumsq=stats.a_sumsq + prod * prod,
-                    n_stat=stats.n_stat + 1)
-                if cfg.take_pump_samples:
-                    amax = jnp.argmax(M_a, axis=1)
-                    stats = stats.replace(
-                        pump=stats.pump.at[
-                            jnp.arange(self.n_genes), amax].add(1.0),
-                        n_pump=stats.n_pump + 1)
-
-        # snapshots (GapsRunner.cpp:316-322); layout [equil block | sampling]
-        if self._snap_freq > 0 and (
-                cfg.snapshot_phase == "all"
-                or (cfg.snapshot_phase == "equilibration" and phase == EQUILIBRATION)
-                or (cfg.snapshot_phase == "sampling" and phase == SAMPLING)):
-            take = (it + 1) % self._snap_freq == 0
-            s_idx = (phase * cfg.n_snapshots + (it + 1) // self._snap_freq - 1)
-            s_idx = jnp.where(take, s_idx, stats.snap_a.shape[0])
-            stats = stats.replace(
-                snap_a=stats.snap_a.at[s_idx].set(M_a, mode="drop"),
-                snap_p=stats.snap_p.at[s_idx].set(M_p, mode="drop"))
-
-        # chi^2 / atom-count history every outputFrequency
-        # (GapsRunner.cpp:160-199)
-        if self._n_hist > 0:
-            rec = (it + 1) % cfg.output_frequency == 0
-            cs = jax.lax.cond(
-                rec,
-                lambda: dense.chisq(dense.DenseCache(R), self.invS2),
-                lambda: jnp.float32(0.0))
-            h_idx = (phase * (self._n_hist // 2)
-                     + (it + 1) // cfg.output_frequency - 1)
-            h_idx = jnp.where(rec, h_idx, self._n_hist)
-            stats = stats.replace(
-                chisq_hist=stats.chisq_hist.at[h_idx].set(cs, mode="drop"),
-                atom_hist_a=stats.atom_hist_a.at[h_idx].set(
-                    state.atoms_a.n, mode="drop"),
-                atom_hist_p=stats.atom_hist_p.at[h_idx].set(
-                    state.atoms_p.n, mode="drop"))
-
-        return state, stats
-
-    def _phase_impl(self, state: ChainState, stats: RunStats, seed_key,
-                    start_iter, stop_iter, phase: int):
-        def body(it, carry):
-            st, sts = carry
-            return self._iteration(it, st, sts, seed_key, phase)
-
-        return jax.lax.fori_loop(start_iter, stop_iter, body, (state, stats))
+        return init_run_stats(self.config, self.n_genes, self.n_samples,
+                              self.hist)
 
     # ------------------------------------------------------------------
     def run_phase(self, state, stats, seed_key, phase: int, start_iter=0):
-        return self._run_phase(state, stats, seed_key,
+        return self._run_phase(phase, self.data, state, stats, seed_key,
                                jnp.asarray(start_iter, jnp.int32),
-                               jnp.asarray(self.config.n_iterations, jnp.int32),
-                               phase=phase)
+                               jnp.asarray(self.config.n_iterations,
+                                           jnp.int32))
 
-    def run_span(self, state, stats, seed_key, phase: int, start_iter, stop_iter):
+    def run_span(self, state, stats, seed_key, phase: int, start_iter,
+                 stop_iter):
         """Run iterations [start, stop) of one phase (checkpoint chunking)."""
-        return self._run_phase(state, stats, seed_key,
+        return self._run_phase(phase, self.data, state, stats, seed_key,
                                jnp.asarray(start_iter, jnp.int32),
-                               jnp.asarray(stop_iter, jnp.int32),
-                               phase=phase)
+                               jnp.asarray(stop_iter, jnp.int32))
 
     def chisq(self, state: ChainState) -> float:
         return float(dense.chisq(dense.DenseCache(state.R), self.invS2))

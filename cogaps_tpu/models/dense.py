@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -79,12 +80,20 @@ def compute_lambda(D: np.ndarray, alpha: float, n_patterns: int) -> float:
     return float(alpha) * float(np.sqrt(n_patterns / mean_nz))
 
 
-def make_phase(invS2: jnp.ndarray, other_M: jnp.ndarray) -> DensePhase:
+def make_phase(invS2: jnp.ndarray, other_M: jnp.ndarray,
+               axis_name=None) -> DensePhase:
+    """`axis_name` handles gene-sharded runs (parallel/sharded.py): the
+    partner factor's rows live across devices, so the per-phase reductions
+    (SQ, canUseGibbs) are psum/pmax collectives over the mesh axis."""
     sq = jnp.dot(invS2, other_M * other_M, preferred_element_type=jnp.float32)
+    col_max = jnp.max(other_M, axis=0)
+    if axis_name is not None:
+        sq = jax.lax.psum(sq, axis_name)
+        col_max = jax.lax.pmax(col_max, axis_name)
     return DensePhase(
         SQ=sq,
         otherT=other_M.T,
-        col_nz=jnp.max(other_M, axis=0) > 0.0,
+        col_nz=col_max > 0.0,
     )
 
 
@@ -97,8 +106,10 @@ def rebuild_cache(D: jnp.ndarray, invS2: jnp.ndarray, M: jnp.ndarray,
 
 
 def alpha_batch(cache: DenseCache, phase: DensePhase, invS2: jnp.ndarray,
-                r1, c1, r2, c2) -> AlphaBatch:
-    """Batched alphaParameters for B proposals (single + pair forms)."""
+                r1, c1, r2, c2, axis_name=None) -> AlphaBatch:
+    """Batched alphaParameters for B proposals (single + pair forms).
+    With `axis_name`, the row-reductions run over a device-sharded
+    reduction axis and are psum'd (gene-sharded P sampler)."""
     s1 = phase.SQ[r1, c1]
     s2 = phase.SQ[r2, c2]
     Rr1 = cache.R[r1]  # (B, m)
@@ -109,6 +120,8 @@ def alpha_batch(cache: DenseCache, phase: DensePhase, invS2: jnp.ndarray,
     smu2 = jnp.sum(Rr2 * o2, axis=-1)
     same_row = (r1 == r2).astype(jnp.float32)
     x = jnp.sum(o1 * o2 * invS2[r1], axis=-1)
+    if axis_name is not None:
+        smu1, smu2, x = jax.lax.psum((smu1, smu2, x), axis_name)
     return AlphaBatch(
         s1=s1,
         smu1=smu1,
@@ -128,6 +141,29 @@ def apply_updates(cache: DenseCache, phase: DensePhase, invS2: jnp.ndarray,
     rows_g = jnp.minimum(rows, n_rows - 1)
     contrib = deltas[:, None] * phase.otherT[cols] * invS2[rows_g]
     return DenseCache(R=cache.R.at[rows].add(-contrib, mode="drop"))
+
+
+class DenseModel(NamedTuple):
+    """Trace-time adapter handed to the generic sweep (ops/sweep.py):
+    closes over the per-update-phase constants (frozen partner factor
+    tables + uncertainty); the mutable mstate is the DenseCache residual."""
+
+    col_nz: jnp.ndarray
+    alpha: object  # fn(mstate, M, r1, c1, r2, c2) -> AlphaBatch
+    apply: object  # fn(mstate, rows, cols, deltas) -> mstate
+
+
+def make_model(phase: DensePhase, invS2: jnp.ndarray,
+               axis_name=None) -> DenseModel:
+    def alpha(mstate: DenseCache, M, r1, c1, r2, c2):
+        del M  # the dense model reads the residual cache, not M
+        return alpha_batch(mstate, phase, invS2, r1, c1, r2, c2,
+                           axis_name=axis_name)
+
+    def apply(mstate: DenseCache, rows, cols, deltas):
+        return apply_updates(mstate, phase, invS2, rows, cols, deltas)
+
+    return DenseModel(col_nz=phase.col_nz, alpha=alpha, apply=apply)
 
 
 def chisq(cache: DenseCache, invS2: jnp.ndarray) -> jnp.ndarray:

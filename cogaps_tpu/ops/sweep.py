@@ -66,19 +66,29 @@ class SamplerConsts(NamedTuple):
     capacity: int  # atom table capacity
     batch: int  # proposal batch width B
     alpha: float
-    lam: float  # lambda of the mass prior
-    max_gibbs_mass: float  # already scaled by 1/lambda
     domain_length: float  # binLength * nBins with binLength = 2^64 // nBins
+    axis_name: object = None  # mesh axis to psum row-reductions over
+    # (gene-sharded P sampler, parallel/sharded.py)
+
+
+class MassParams(NamedTuple):
+    """Runtime (possibly per-chain) mass-prior parameters: lambda =
+    alpha*sqrt(k/meanNonZero(D)) and maxGibbsMass/lambda (reference:
+    DenseNormalModel.h:79-81). Traced scalars so vmapped chains over
+    different data subsets keep their own values."""
+
+    lam: jnp.ndarray  # () float32
+    max_gibbs_mass: jnp.ndarray  # () float32, already scaled by 1/lambda
 
 
 def make_consts(n_rows: int, m: int, k: int, capacity: int, batch: int,
-                alpha: float, lam: float, max_gibbs_mass: float) -> SamplerConsts:
+                alpha: float, axis_name=None) -> SamplerConsts:
     n_bins = n_rows * k
     bin_length = (2**64) // n_bins
     return SamplerConsts(
         n_rows=n_rows, m=m, k=k, n_bins=n_bins, capacity=capacity,
-        batch=batch, alpha=alpha, lam=lam, max_gibbs_mass=max_gibbs_mass,
-        domain_length=float(bin_length * n_bins),
+        batch=batch, alpha=alpha,
+        domain_length=float(bin_length * n_bins), axis_name=axis_name,
     )
 
 
@@ -91,11 +101,19 @@ def death_prob(n_f32: jnp.ndarray, consts: SamplerConsts) -> jnp.ndarray:
 
 
 def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
-          cache: dense.DenseCache, phase: dense.DensePhase,
-          invS2: jnp.ndarray, temp: jnp.ndarray, remaining: jnp.ndarray,
-          consts: SamplerConsts
-          ) -> Tuple[AtomTable, jnp.ndarray, dense.DenseCache, jnp.ndarray]:
-    """One batched proposal sweep. Returns (atoms, M, cache, n_processed)."""
+          mstate, temp: jnp.ndarray, remaining: jnp.ndarray,
+          consts: SamplerConsts, mass: MassParams, *, model
+          ) -> Tuple[AtomTable, jnp.ndarray, object, jnp.ndarray]:
+    """One batched proposal sweep. Returns (atoms, M, mstate, n_processed).
+
+    `model` is a trace-time adapter built per update-phase
+    (dense.make_model / sparse.make_model) exposing:
+      * model.alpha(mstate, M, r1, c1, r2, c2) -> AlphaBatch
+      * model.apply(mstate, rows, cols, deltas) -> mstate  (cache update)
+      * model.col_nz -> (k,) bool, canUseGibbs per column
+    `mstate` is the model's mutable cache pytree (dense: the weighted
+    residual; sparse: empty — it has no cache, SparseNormalModel.cpp has
+    no AP matrix)."""
     B = consts.batch
     C = consts.capacity
     NR = consts.n_rows
@@ -171,17 +189,17 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     is_exch &= keep
 
     # ---- evaluate alpha parameters for all survivors ----
-    ab = dense.alpha_batch(cache, phase, invS2, r1, c1, r2, c2)
-    can1 = phase.col_nz[c1]
-    can2 = phase.col_nz[c2]
+    ab = model.alpha(mstate, M, r1, c1, r2, c2)
+    can1 = model.col_nz[c1]
+    can2 = model.col_nz[c2]
     log_u = gaps_rng.log_uniform(u_acc)
 
     # birth lane (reference: SingleThreadedGibbsSampler.h:131-149)
     b_s = ab.s1 * temp
     b_smu = ab.smu1 * temp
     g_mass, g_ok = gaps_rng.gibbs_mass(u_gibbs, b_s, b_smu, 0.0,
-                                       consts.max_gibbs_mass, consts.lam)
-    e_mass = gaps_rng.exponential(u_exp, consts.lam)
+                                       mass.max_gibbs_mass, mass.lam)
+    e_mass = gaps_rng.exponential(u_exp, mass.lam)
     b_mass = jnp.where(can1, g_mass, e_mass)
     b_has = jnp.where(can1, g_ok, True)
     birth_acc = is_birth & b_has & (b_mass > EPS)
@@ -190,7 +208,7 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     d_s = ab.s1 * temp
     d_smu = (ab.smu1 + m1 * ab.s1) * temp
     d_gm, d_gok = gaps_rng.gibbs_mass(u_gibbs, d_s, d_smu, 0.0,
-                                      consts.max_gibbs_mass, consts.lam)
+                                      mass.max_gibbs_mass, mass.lam)
     rebirth = jnp.where(can1 & d_gok, d_gm, m1)
     dll_death = rebirth * (d_smu - d_s * rebirth * 0.5)
     death_rebirth = is_death & (log_u < dll_death)
@@ -229,7 +247,7 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     actual = jnp.where(up_v, jnp.maximum(old + up_d, 0.0) - old, 0.0)
     up_r_safe = jnp.where(up_v, up_r, NR)
     M = M.at[up_r_safe, up_c].add(actual, mode="drop")
-    cache = dense.apply_updates(cache, phase, invS2, up_r_safe, up_c, actual)
+    mstate = model.apply(mstate, up_r_safe, up_c, actual)
 
     # ---- apply atom changes ----
     write_a1 = death_kill | death_rebirth | move_acc | ex_acc
@@ -253,13 +271,12 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     atoms = compact(mass_arr, elem_arr, n_new)
 
     n_processed = jnp.sum(keep.astype(jnp.int32))
-    return atoms, M, cache, n_processed
+    return atoms, M, mstate, n_processed
 
 
 def run_updates(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
-                cache: dense.DenseCache, phase: dense.DensePhase,
-                invS2: jnp.ndarray, temp: jnp.ndarray, n_steps: jnp.ndarray,
-                consts: SamplerConsts):
+                mstate, temp: jnp.ndarray, n_steps: jnp.ndarray,
+                consts: SamplerConsts, mass: MassParams, *, model):
     """Process `n_steps` proposals in batched sweeps — the analog of
     GibbsSampler::update(nSteps, nThreads) (reference:
     AsynchronousGibbsSampler.h:89-121). Progress is guaranteed: the first
@@ -269,12 +286,14 @@ def run_updates(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
         return carry[0] < n_steps
 
     def body(carry):
-        done, i, atoms, M, cache = carry
+        done, i, atoms, M, mstate = carry
         k = jax.random.fold_in(key, i)
-        atoms, M, cache, n_proc = sweep(
-            k, atoms, M, cache, phase, invS2, temp, n_steps - done, consts)
-        return (done + n_proc, i + 1, atoms, M, cache)
+        atoms, M, mstate, n_proc = sweep(
+            k, atoms, M, mstate, temp, n_steps - done, consts, mass,
+            model=model)
+        return (done + n_proc, i + 1, atoms, M, mstate)
 
-    init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), atoms, M, cache)
-    done, n_sweeps, atoms, M, cache = jax.lax.while_loop(cond, body, init)
-    return atoms, M, cache, done, n_sweeps
+    init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), atoms, M,
+            mstate)
+    done, n_sweeps, atoms, M, mstate = jax.lax.while_loop(cond, body, init)
+    return atoms, M, mstate, done, n_sweeps

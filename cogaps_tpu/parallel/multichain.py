@@ -1,0 +1,144 @@
+"""Data-parallel chains: vmapped independent Gibbs chains sharded over a
+device mesh.
+
+This is the TPU equivalent of the reference's process-level parallelism
+(one forked C++ engine per data subset, reference:
+R/DistributedCogaps.R:56-67 with BiocParallel::MulticoreParam): chains are
+completely independent until the tiny consensus gather, so we stack their
+state along a leading axis, vmap the shared iteration body
+(engine.run_iteration), and shard the chain axis over the mesh. One chain
+per device gives the reference's worker model; several chains per device
+amortize small-matrix dispatch.
+
+All chains must share shapes (genes x samples x k x capacity); the
+distributed driver pads subsets to a common size with zero-uncertainty
+rows (invS2 = 0 rows contribute nothing to likelihood, reductions, or
+chi^2 — they are exact no-ops in the model).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import (ChainState, DeviceData, HistConfig, RunStats,
+                      derive_hist, init_chain_state, init_run_stats,
+                      build_consts, run_iteration)
+from ..models import dense
+from ..ops.sweep import MassParams
+from ..params import EngineConfig
+
+CHAIN_AXIS = "chains"
+
+
+def stack_device_data(Ds, Ss, cfg: EngineConfig,
+                      pad_rows: Optional[int] = None) -> DeviceData:
+    """Stack per-chain datasets [(G_i, S)] into one batched DeviceData,
+    padding the gene axis to a common size with invS2 = 0 rows."""
+    n = len(Ds)
+    G = pad_rows or max(d.shape[0] for d in Ds)
+    S = Ds[0].shape[1]
+    D_stack = np.zeros((n, G, S), np.float32)
+    inv_stack = np.zeros((n, G, S), np.float32)
+    lam_a = np.zeros((n,), np.float32)
+    lam_p = np.zeros((n,), np.float32)
+    for i, D in enumerate(Ds):
+        D = np.asarray(D, np.float32)
+        Si = (np.asarray(Ss[i], np.float32) if Ss is not None and Ss[i] is not None
+              else dense.default_uncertainty(D))
+        g = D.shape[0]
+        D_stack[i, :g] = D
+        inv_stack[i, :g] = 1.0 / (Si * Si)
+        lam_a[i] = dense.compute_lambda(D, cfg.alpha_a, cfg.n_patterns)
+        lam_p[i] = dense.compute_lambda(D, cfg.alpha_p, cfg.n_patterns)
+    Dj = jnp.asarray(D_stack)
+    invj = jnp.asarray(inv_stack)
+    return DeviceData(
+        D=Dj, invS2=invj,
+        D_t=jnp.swapaxes(Dj, 1, 2), invS2_t=jnp.swapaxes(invj, 1, 2),
+        mass_a=MassParams(lam=jnp.asarray(lam_a),
+                          max_gibbs_mass=jnp.asarray(
+                              cfg.max_gibbs_mass_a / lam_a)),
+        mass_p=MassParams(lam=jnp.asarray(lam_p),
+                          max_gibbs_mass=jnp.asarray(
+                              cfg.max_gibbs_mass_p / lam_p)))
+
+
+class MultichainEngine:
+    """Run C independent chains as one vmapped, device-sharded program.
+
+    `data` carries a leading chain axis; states/stats/keys follow. With a
+    mesh, the chain axis is sharded over `mesh` axis "chains" — XLA
+    partitions the batched program with zero communication (the chains
+    never interact), exactly like the reference's forked workers.
+    """
+
+    def __init__(self, data: DeviceData, config: EngineConfig,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        self.config = config
+        self.n_chains, self.n_genes, self.n_samples = data.D.shape
+        self.hist = derive_hist(config)
+        self.consts_a, self.consts_p = build_consts(
+            config, self.n_genes, self.n_samples)
+        self.mesh = mesh
+        if mesh is not None:
+            spec = jax.sharding.PartitionSpec(CHAIN_AXIS)
+            sharding = jax.sharding.NamedSharding(mesh, spec)
+            data = jax.tree.map(
+                lambda x: jax.device_put(x, sharding) if x.ndim > 0 else x,
+                data)
+        self.data = data
+
+        def phase_span(phase, data, state, stats, keys, start, stop):
+            def body(it, carry):
+                st, sts = carry
+                st, sts = jax.vmap(
+                    functools.partial(run_iteration, config, self.consts_a,
+                                      self.consts_p, self.hist, phase),
+                    in_axes=(0, None, 0, 0, 0))(data, it, st, sts, keys)
+                return st, sts
+            return jax.lax.fori_loop(start, stop, body, (state, stats))
+
+        self._run_phase = jax.jit(phase_span, static_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def init_state(self, fixed_patterns=None) -> ChainState:
+        def one(data_i, fixed_i):
+            return init_chain_state(self.config, data_i, fixed_i)
+
+        if fixed_patterns is None:
+            state = jax.vmap(lambda d: init_chain_state(self.config, d))(
+                self.data)
+        else:
+            fp = jnp.asarray(fixed_patterns, jnp.float32)
+            if fp.ndim == 2:
+                fp = jnp.broadcast_to(fp, (self.n_chains,) + fp.shape)
+            state = jax.vmap(one)(self.data, fp)
+        return self._shard(state)
+
+    def init_stats(self) -> RunStats:
+        stats = jax.vmap(lambda _: init_run_stats(
+            self.config, self.n_genes, self.n_samples, self.hist))(
+                jnp.arange(self.n_chains))
+        return self._shard(stats)
+
+    def _shard(self, tree):
+        if self.mesh is None:
+            return tree
+        spec = jax.sharding.PartitionSpec(CHAIN_AXIS)
+        sharding = jax.sharding.NamedSharding(self.mesh, spec)
+        return jax.tree.map(
+            lambda x: jax.device_put(x, sharding) if x.ndim > 0 else x, tree)
+
+    # ------------------------------------------------------------------
+    def run_phase(self, state, stats, seed_keys, phase: int,
+                  start_iter=0, stop_iter=None
+                  ) -> Tuple[ChainState, RunStats]:
+        stop = self.config.n_iterations if stop_iter is None else stop_iter
+        return self._run_phase(phase, self.data, state, stats, seed_keys,
+                               jnp.asarray(start_iter, jnp.int32),
+                               jnp.asarray(stop, jnp.int32))

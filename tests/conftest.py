@@ -10,6 +10,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# the environment's sitecustomize pre-imports jax (TPU plugin registration),
+# so the env vars above are too late for the platform choice — set it
+# through the config API as well (XLA_FLAGS is still read at first backend
+# initialization, which happens later).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
