@@ -7,6 +7,7 @@ annealed MCMC, distributed subset+consensus mode, and the downstream
 pattern-analysis toolkit.
 """
 
+from . import analysis, plots
 from .api import CoGAPS, GWCoGAPS, scCoGAPS
 from .params import CogapsParams
 from .result import CogapsResult
@@ -15,5 +16,5 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CoGAPS", "GWCoGAPS", "scCoGAPS", "CogapsParams", "CogapsResult",
-    "__version__",
+    "analysis", "plots", "__version__",
 ]

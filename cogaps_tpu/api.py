@@ -132,7 +132,7 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
         seed = params.resolved_seed()
     config = params.engine_config(D.shape[0], D.shape[1])
     if params.sparse_optimization:
-        from .models.sparse import SparseGapsEngine
+        from .sparse_engine import SparseGapsEngine
         engine = SparseGapsEngine(D, config)
     else:
         engine = GapsEngine(D, uncertainty, config)
@@ -225,6 +225,11 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
     if params.take_pump_samples:
         diagnostics["pumpMatrix"] = (
             np.asarray(stats.pump) / max(int(stats.n_pump), 1))
+        # meanPatternAssignment: one-hot argmax of Amean
+        # (reference: GapsStatistics.cpp:119-131)
+        mpa = np.zeros_like(amean)
+        mpa[np.arange(amean.shape[0]), np.argmax(amean, axis=1)] = 1.0
+        diagnostics["meanPatternAssignment"] = mpa
     if params.which_matrix_fixed != "N":
         diagnostics["fixedPatterns"] = np.asarray(params.fixed_patterns,
                                                   np.float32)
@@ -237,6 +242,7 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
         log_message(f"meanChiSq: {mcs:.1f}, totalUpdates: {total_updates}, "
                     f"time: {elapsed:.1f}s")
 
+    diagnostics["params"] = params
     pattern_names = [f"Pattern_{i+1}" for i in range(config.n_patterns)]
     return CogapsResult(
         Amean=np.asarray(amean, np.float32), Asd=np.asarray(asd, np.float32),

@@ -167,6 +167,26 @@ def run_iteration(cfg: EngineConfig, consts_a: SamplerConsts,
     state = ChainState(atoms_a=atoms_a, atoms_p=atoms_p,
                        M_a=M_a, M_p=M_p, R=R)
 
+    def chisq_fn():
+        return dense.chisq(dense.DenseCache(R), data.invS2)
+
+    stats = accumulate_stats(cfg, hist, phase, it, M_a, M_p,
+                             state.atoms_a.n, state.atoms_p.n,
+                             done_a, done_p, stats, chisq_fn, n_genes,
+                             axis_name)
+    return state, stats
+
+
+def accumulate_stats(cfg: EngineConfig, hist: HistConfig, phase: int, it,
+                     M_a, M_p, n_atoms_a, n_atoms_p, done_a, done_p,
+                     stats: RunStats, chisq_fn, n_genes: int,
+                     axis_name=None) -> RunStats:
+    """Post-sweep bookkeeping shared by the dense and sparse engines:
+    totalUpdates counter, posterior statistics with max-normalization
+    (GapsStatistics.h:130-185), snapshots (GapsRunner.cpp:316-322), and
+    chi^2/atom-count histories (GapsRunner.cpp:160-199)."""
+    fixed = cfg.which_matrix_fixed
+
     # totalUpdates accumulation (GapsRunner.cpp:297), 2^30-split counter
     if axis_name is not None:
         # A updates are per-shard; P updates are replicated (count once)
@@ -222,11 +242,7 @@ def run_iteration(cfg: EngineConfig, consts_a: SamplerConsts,
     # (GapsRunner.cpp:160-199)
     if hist.n_hist > 0:
         rec = (it + 1) % cfg.output_frequency == 0
-        cs = jax.lax.cond(
-            rec,
-            lambda: dense.chisq(dense.DenseCache(R), data.invS2),
-            lambda: jnp.float32(0.0))
-        n_atoms_a = state.atoms_a.n
+        cs = jax.lax.cond(rec, chisq_fn, lambda: jnp.float32(0.0))
         if axis_name is not None:
             cs = jax.lax.psum(cs, axis_name)
             n_atoms_a = jax.lax.psum(n_atoms_a, axis_name)
@@ -238,9 +254,9 @@ def run_iteration(cfg: EngineConfig, consts_a: SamplerConsts,
             atom_hist_a=stats.atom_hist_a.at[h_idx].set(
                 n_atoms_a, mode="drop"),
             atom_hist_p=stats.atom_hist_p.at[h_idx].set(
-                state.atoms_p.n, mode="drop"))
+                n_atoms_p, mode="drop"))
 
-    return state, stats
+    return stats
 
 
 def run_phase_span(cfg: EngineConfig, consts_a: SamplerConsts,

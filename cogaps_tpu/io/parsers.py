@@ -25,9 +25,27 @@ def file_type(path: str) -> str:
     raise ValueError(f"unsupported file extension: {path}")
 
 
-def read_matrix(path: str) -> Tuple[np.ndarray, Names, Names]:
-    """Returns (matrix, row_names, col_names)."""
+def read_matrix(path: str, use_native: bool = True
+                ) -> Tuple[np.ndarray, Names, Names]:
+    """Returns (matrix, row_names, col_names). Prefers the native C++
+    streaming parser (native/fastparse.cpp) when built; falls back to the
+    pure-Python implementations below."""
     kind = file_type(path)
+    if use_native:
+        try:
+            from . import native
+            if native.available():
+                if kind in ("csv", "tsv"):
+                    sep = "," if kind == "csv" else "\t"
+                    return native.read_delim(path, sep)
+                if kind == "gct":
+                    return native.read_delim(path, "\t", gct=True)
+                rows, cols, vals, n, m = native.read_mtx_coo(path)
+                mat = np.zeros((n, m), np.float32)
+                mat[rows, cols] = vals
+                return mat, None, None
+        except Exception:
+            pass  # fall back to python parsers
     if kind == "csv":
         return _read_delimited(path, ",")
     if kind == "tsv":

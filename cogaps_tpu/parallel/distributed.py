@@ -216,7 +216,7 @@ def stitch_together(results: List[CogapsResult], sets: List[np.ndarray],
                 ro = np.argsort(set_indices, kind="stable")
                 # match(indices, setIndices): position of each index in
                 # setIndices — argsort of a permutation gives exactly that
-                return mat[ro], sd[ro], [names[i] for i in set_indices[ro]]
+                return mat[ro], sd[ro], [names[j] for j in ro]
         return mat, sd, names
 
     if genome_wide:

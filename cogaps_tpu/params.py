@@ -195,8 +195,15 @@ class CogapsParams:
                 self.resolved_max_ns(),
                 self.resolved_cut(),
             )
-            if min_ns <= 1:
-                raise ValueError("minNS must be greater than one")
+            # NOTE the reference's S4 validity expressions for minNS/nSets
+            # (class-CogapsParams.R:167-170) are dead code (the strings are
+            # never returned), and its own tests run nSets=2 => minNS=1
+            # (test_output_across_modes.R:20-24) — so only the genuinely
+            # enforced constraints are errors here.
+            if min_ns < 1:
+                raise ValueError("minNS must be at least one")
+            if self.n_sets < 2:
+                raise ValueError("nSets must be at least two")
             if max_ns <= min_ns:
                 raise ValueError("maxNS must be greater than minNS")
             if cut > self.n_patterns:

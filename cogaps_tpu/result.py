@@ -46,6 +46,64 @@ class CogapsResult:
                 f"{self.Pmean.shape[0]} samples\n"
                 f"{self.n_patterns} patterns were learned")
 
+    # ---- analysis conveniences (delegate to cogaps_tpu.analysis) ----
+    def pattern_markers(self, **kw):
+        from . import analysis
+        return analysis.pattern_markers(self, **kw)
+
+    def calc_z(self, which_matrix: str = "featureLoadings"):
+        from . import analysis
+        return analysis.calc_z(self, which_matrix)
+
+    def reconstruct_gene(self, genes=None):
+        from . import analysis
+        return analysis.reconstruct_gene(self, genes)
+
+    def binary_a(self, threshold: float):
+        from . import analysis
+        return analysis.binary_a(self, threshold)
+
+    def calc_cogaps_stat(self, sets, **kw):
+        from . import analysis
+        return analysis.calc_cogaps_stat(self, sets, **kw)
+
+    def get_pattern_gene_set(self, gene_sets, **kw):
+        from . import analysis
+        return analysis.get_pattern_gene_set(self, gene_sets, **kw)
+
+    def manova(self, interested_variables):
+        from . import analysis
+        return analysis.manova(interested_variables, self)
+
+    # distributed diagnostics getters (reference: methods:176-216)
+    def get_unmatched_patterns(self):
+        return self.diagnostics.get("unmatchedPatterns")
+
+    def get_clustered_patterns(self):
+        return self.diagnostics.get("clusteredPatterns")
+
+    def get_correlation_to_mean_pattern(self):
+        return self.diagnostics.get("CorrToMeanPattern")
+
+    def get_subsets(self):
+        return self.diagnostics.get("subsets")
+
+    def get_mean_chi_sq(self) -> float:
+        return self.mean_chi_sq
+
+    def get_version(self) -> str:
+        from . import __version__
+        return __version__
+
+    def get_original_parameters(self):
+        return self.diagnostics.get("params")
+
+    def get_param(self, name: str):
+        params = self.diagnostics.get("params")
+        if params is None:
+            raise ValueError("result does not carry its parameters")
+        return params.get_param(name)
+
     # ------------------------------------------------------------------
     def to_csv(self, prefix: str) -> None:
         """Write Amean/Pmean/Asd/Psd as CSV (reference:
@@ -130,7 +188,11 @@ def _jsonable(obj):
         return int(obj)
     if isinstance(obj, (np.floating,)):
         return float(obj)
-    return obj
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return _jsonable(dataclasses.asdict(obj))
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return obj
+    return repr(obj)  # last resort: readable, never raises
 
 
 def finalize_statistics(a_sum, a_sumsq, p_sum, p_sumsq, n_stat):

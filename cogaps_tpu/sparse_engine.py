@@ -1,0 +1,173 @@
+"""Sparse-model engine: the driver specialization for SparseNormalModel.
+
+Same two-phase annealed MCMC as engine.py, with the sparse data model
+(models/sparse.py): ELL-layout nonzeros in both orientations, Z1/Z2 lookup
+tables regenerated at each sampler sync (reference:
+SparseNormalModel.cpp:294-311 via sync, GapsRunner.cpp:202-222), no
+residual cache, closed-form chi^2. Custom uncertainty is not supported —
+the model's math assumes the implied default (reference:
+R/HelperFunctions.R:223-224).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .engine import (EQUILIBRATION, HistConfig, RunStats, accumulate_stats,
+                     derive_hist, init_run_stats)
+from .models import dense, sparse
+from .ops import rng as gaps_rng
+from .ops.atoms import AtomTable, init_atoms
+from .ops.sweep import MassParams, SamplerConsts, make_consts, run_updates
+from .params import EngineConfig
+
+
+class SparseDeviceData(NamedTuple):
+    ell_a: sparse.EllMatrix  # gene-major nonzeros (A-sampler layout)
+    ell_p: sparse.EllMatrix  # sample-major nonzeros (P-sampler layout)
+    mass_a: MassParams
+    mass_p: MassParams
+
+
+@struct.dataclass
+class SparseChainState:
+    atoms_a: AtomTable
+    atoms_p: AtomTable
+    M_a: jnp.ndarray  # (nGenes, k)
+    M_p: jnp.ndarray  # (nSamples, k)
+
+
+def run_iteration_sparse(cfg: EngineConfig, consts_a: SamplerConsts,
+                         consts_p: SamplerConsts, hist: HistConfig,
+                         phase: int, data: SparseDeviceData, it,
+                         state: SparseChainState, stats: RunStats,
+                         base_key) -> Tuple[SparseChainState, RunStats]:
+    """One sparse-model MCMC iteration (GapsRunner.cpp:273-325)."""
+    fixed = cfg.which_matrix_fixed
+    n_genes = state.M_a.shape[0]
+
+    key_it = jax.random.fold_in(jax.random.fold_in(base_key, phase), it)
+    kpa, kpp, kua, kup = jax.random.split(key_it, 4)
+
+    if phase == EQUILIBRATION:
+        temp = jnp.minimum(
+            1.0, (2.0 * it.astype(jnp.float32)) / cfg.n_iterations)
+    else:
+        temp = jnp.float32(1.0)
+
+    n_a = gaps_rng.poisson(
+        kpa, jnp.maximum(state.atoms_a.n, 10).astype(jnp.float32))
+    n_p = gaps_rng.poisson(
+        kpp, jnp.maximum(state.atoms_p.n, 10).astype(jnp.float32))
+
+    atoms_a, M_a = state.atoms_a, state.M_a
+    atoms_p, M_p = state.atoms_p, state.M_p
+    done_a = jnp.zeros((), jnp.int32)
+    done_p = jnp.zeros((), jnp.int32)
+
+    if fixed != "A":
+        model_a = sparse.make_model(data.ell_a, sparse.make_sparse_phase(M_p))
+        atoms_a, M_a, _, done_a, _ = run_updates(
+            kua, atoms_a, M_a, (), temp, n_a, consts_a, data.mass_a,
+            model=model_a)
+    if fixed != "P":
+        model_p = sparse.make_model(data.ell_p, sparse.make_sparse_phase(M_a))
+        atoms_p, M_p, _, done_p, _ = run_updates(
+            kup, atoms_p, M_p, (), temp, n_p, consts_p, data.mass_p,
+            model=model_p)
+
+    state = SparseChainState(atoms_a=atoms_a, atoms_p=atoms_p,
+                             M_a=M_a, M_p=M_p)
+
+    def chisq_fn():
+        return sparse.sparse_chisq(data.ell_a, M_a, M_p)
+
+    stats = accumulate_stats(cfg, hist, phase, it, M_a, M_p,
+                             state.atoms_a.n, state.atoms_p.n,
+                             done_a, done_p, stats, chisq_fn, n_genes)
+    return state, stats
+
+
+class SparseGapsEngine:
+    """Sparse-model engine with the same surface as GapsEngine."""
+
+    def __init__(self, D: np.ndarray, config: EngineConfig):
+        D = np.asarray(D, np.float32)
+        if np.any(D < 0):
+            raise ValueError("negative values in data matrix")
+        self.n_genes, self.n_samples = D.shape
+        self.config = config
+        self.hist = derive_hist(config)
+        k = config.n_patterns
+        self.data_sparsity = sparse.sparsity(D)
+
+        lam_a = dense.compute_lambda(D, config.alpha_a, k)
+        lam_p = dense.compute_lambda(D, config.alpha_p, k)
+        self.lam_a, self.lam_p = lam_a, lam_p
+        self.data = SparseDeviceData(
+            ell_a=sparse.to_ell(D),
+            ell_p=sparse.to_ell(D.T),
+            mass_a=MassParams(jnp.float32(lam_a),
+                              jnp.float32(config.max_gibbs_mass_a / lam_a)),
+            mass_p=MassParams(jnp.float32(lam_p),
+                              jnp.float32(config.max_gibbs_mass_p / lam_p)))
+
+        self.consts_a = make_consts(self.n_genes, self.n_samples, k,
+                                    config.capacity_a, config.batch_a,
+                                    config.alpha_a)
+        self.consts_p = make_consts(self.n_samples, self.n_genes, k,
+                                    config.capacity_p, config.batch_p,
+                                    config.alpha_p)
+
+        def phase_span(phase, data, state, stats, seed_key, start, stop):
+            def body(it, carry):
+                st, sts = carry
+                return run_iteration_sparse(
+                    config, self.consts_a, self.consts_p, self.hist, phase,
+                    data, it, st, sts, seed_key)
+            return jax.lax.fori_loop(start, stop, body, (state, stats))
+
+        self._run_phase = jax.jit(phase_span, static_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def init_state(self, fixed_patterns: Optional[np.ndarray] = None
+                   ) -> SparseChainState:
+        cfg = self.config
+        k = cfg.n_patterns
+        M_a = jnp.zeros((self.n_genes, k), jnp.float32)
+        M_p = jnp.zeros((self.n_samples, k), jnp.float32)
+        if cfg.which_matrix_fixed == "A":
+            M_a = jnp.asarray(fixed_patterns, jnp.float32)
+        elif cfg.which_matrix_fixed == "P":
+            M_p = jnp.asarray(fixed_patterns, jnp.float32)
+        return SparseChainState(
+            atoms_a=init_atoms(cfg.capacity_a),
+            atoms_p=init_atoms(cfg.capacity_p),
+            M_a=M_a, M_p=M_p)
+
+    def init_stats(self) -> RunStats:
+        return init_run_stats(self.config, self.n_genes, self.n_samples,
+                              self.hist)
+
+    # ------------------------------------------------------------------
+    def run_phase(self, state, stats, seed_key, phase: int, start_iter=0):
+        return self._run_phase(phase, self.data, state, stats, seed_key,
+                               jnp.asarray(start_iter, jnp.int32),
+                               jnp.asarray(self.config.n_iterations,
+                                           jnp.int32))
+
+    def run_span(self, state, stats, seed_key, phase: int, start_iter,
+                 stop_iter):
+        return self._run_phase(phase, self.data, state, stats, seed_key,
+                               jnp.asarray(start_iter, jnp.int32),
+                               jnp.asarray(stop_iter, jnp.int32))
+
+    def chisq(self, state: SparseChainState) -> float:
+        return float(sparse.sparse_chisq(self.data.ell_a, state.M_a,
+                                         state.M_p))

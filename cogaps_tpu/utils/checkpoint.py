@@ -40,12 +40,13 @@ def save_checkpoint(path: str, engine, state, stats, phase: int,
         "n_genes": np.int32(engine.n_genes),
         "n_samples": np.int32(engine.n_samples),
         "n_patterns": np.int32(engine.config.n_patterns),
-        # chain state
-        "M_a": state.M_a, "M_p": state.M_p, "R": state.R,
+        # chain state ("R" absent for the cache-free sparse model)
+        "M_a": state.M_a, "M_p": state.M_p,
         "atoms_a_mass": state.atoms_a.mass, "atoms_a_elem": state.atoms_a.elem,
         "atoms_a_n": state.atoms_a.n,
         "atoms_p_mass": state.atoms_p.mass, "atoms_p_elem": state.atoms_p.elem,
         "atoms_p_n": state.atoms_p.n,
+        "sparse": np.bool_(not hasattr(state, "R")),
         # statistics
         "a_sum": stats.a_sum, "a_sumsq": stats.a_sumsq,
         "p_sum": stats.p_sum, "p_sumsq": stats.p_sumsq,
@@ -55,6 +56,8 @@ def save_checkpoint(path: str, engine, state, stats, phase: int,
         "snap_a": stats.snap_a, "snap_p": stats.snap_p,
         "upd_lo": stats.upd_lo, "upd_hi": stats.upd_hi,
     }
+    if hasattr(state, "R"):
+        payload["R"] = state.R
     # .backup rename during the write (reference: GapsRunner.cpp:232-243)
     backup = path + ".backup"
     if os.path.exists(path):
@@ -67,6 +70,7 @@ def save_checkpoint(path: str, engine, state, stats, phase: int,
 
 def load_checkpoint(path: str, engine) -> Tuple[object, object, int, int]:
     from ..engine import ChainState, RunStats
+    from ..sparse_engine import SparseChainState
     from ..ops.atoms import AtomTable
     import jax.numpy as jnp
 
@@ -78,15 +82,21 @@ def load_checkpoint(path: str, engine) -> Tuple[object, object, int, int]:
             or int(z["n_patterns"]) != engine.config.n_patterns):
         raise ValueError("checkpoint does not match data dimensions")
 
-    state = ChainState(
-        atoms_a=AtomTable(mass=jnp.asarray(z["atoms_a_mass"]),
-                          elem=jnp.asarray(z["atoms_a_elem"]),
-                          n=jnp.asarray(z["atoms_a_n"])),
-        atoms_p=AtomTable(mass=jnp.asarray(z["atoms_p_mass"]),
-                          elem=jnp.asarray(z["atoms_p_elem"]),
-                          n=jnp.asarray(z["atoms_p_n"])),
-        M_a=jnp.asarray(z["M_a"]), M_p=jnp.asarray(z["M_p"]),
-        R=jnp.asarray(z["R"]))
+    atoms_a = AtomTable(mass=jnp.asarray(z["atoms_a_mass"]),
+                        elem=jnp.asarray(z["atoms_a_elem"]),
+                        n=jnp.asarray(z["atoms_a_n"]))
+    atoms_p = AtomTable(mass=jnp.asarray(z["atoms_p_mass"]),
+                        elem=jnp.asarray(z["atoms_p_elem"]),
+                        n=jnp.asarray(z["atoms_p_n"]))
+    if "R" in z:
+        state = ChainState(atoms_a=atoms_a, atoms_p=atoms_p,
+                           M_a=jnp.asarray(z["M_a"]),
+                           M_p=jnp.asarray(z["M_p"]),
+                           R=jnp.asarray(z["R"]))
+    else:
+        state = SparseChainState(atoms_a=atoms_a, atoms_p=atoms_p,
+                                 M_a=jnp.asarray(z["M_a"]),
+                                 M_p=jnp.asarray(z["M_p"]))
     stats = RunStats(
         a_sum=jnp.asarray(z["a_sum"]), a_sumsq=jnp.asarray(z["a_sumsq"]),
         p_sum=jnp.asarray(z["p_sum"]), p_sumsq=jnp.asarray(z["p_sumsq"]),

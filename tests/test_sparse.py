@@ -1,0 +1,124 @@
+"""Sparse-model tests — the analog of the reference's
+testSparseGibbsSampler.cpp (sparse-vs-dense alphaParameters equivalence)
+and test_output_across_modes.R."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cogaps_tpu import CoGAPS
+from cogaps_tpu.models import dense, sparse
+
+
+@pytest.fixture(scope="module")
+def sparse_data():
+    rng = np.random.default_rng(5)
+    A = rng.gamma(2.0, 1.0, (30, 3)).astype(np.float32)
+    P = rng.gamma(2.0, 1.0, (20, 3)).astype(np.float32)
+    D = (A @ P.T).astype(np.float32)
+    D[rng.random(D.shape) < 0.6] = 0.0  # ~60% sparse
+    return D
+
+
+def test_ell_roundtrip(sparse_data):
+    ell = sparse.to_ell(sparse_data)
+    rebuilt = np.zeros_like(sparse_data)
+    idx = np.asarray(ell.idx)
+    val = np.asarray(ell.val)
+    for r in range(sparse_data.shape[0]):
+        m = idx[r] >= 0
+        rebuilt[r, idx[r][m]] = val[r][m]
+    np.testing.assert_array_equal(rebuilt, sparse_data)
+
+
+def test_coo_to_ell_matches_dense(sparse_data):
+    rows, cols = np.nonzero(sparse_data)
+    vals = sparse_data[rows, cols]
+    e1 = sparse.coo_to_ell(rows.astype(np.int32), cols.astype(np.int32),
+                           vals, sparse_data.shape[0])
+    e2 = sparse.to_ell(sparse_data)
+    np.testing.assert_array_equal(np.asarray(e1.idx), np.asarray(e2.idx))
+    np.testing.assert_array_equal(np.asarray(e1.val), np.asarray(e2.val))
+
+
+def test_sparse_alpha_matches_dense(sparse_data):
+    """The sparse closed-form alphaParameters must equal the dense ones
+    computed with the implied uncertainty S = 0.1*D (no floor on nonzeros)
+    — the reference's testSparseGibbsSampler.cpp oracle."""
+    D = sparse_data
+    rng = np.random.default_rng(7)
+    k = 3
+    M = jnp.asarray(rng.gamma(1.0, 1.0, (D.shape[0], k)), jnp.float32)
+    other = jnp.asarray(rng.gamma(1.0, 1.0, (D.shape[1], k)), jnp.float32)
+
+    # dense with implied uncertainty: S = 0.1*D nonzero, 0.1 at zeros
+    S = np.where(D > 0, 0.1 * D, 0.1).astype(np.float32)
+    invS2 = jnp.asarray(1.0 / (S * S))
+    ap = M @ other.T
+    R = (jnp.asarray(D) - ap) * invS2
+    dphase = dense.make_phase(invS2, other)
+
+    B = 64
+    r1 = jnp.asarray(rng.integers(0, D.shape[0], B), jnp.int32)
+    c1 = jnp.asarray(rng.integers(0, k, B), jnp.int32)
+    r2 = jnp.asarray(rng.integers(0, D.shape[0], B), jnp.int32)
+    c2 = jnp.asarray(rng.integers(0, k, B), jnp.int32)
+    # include guaranteed same-row pairs
+    r2 = r2.at[:16].set(r1[:16])
+
+    d_ab = dense.alpha_batch(dense.DenseCache(R), dphase, invS2,
+                             r1, c1, r2, c2)
+    smodel = sparse.make_model(sparse.to_ell(D), sparse.make_sparse_phase(other))
+    s_ab = smodel.alpha((), M, r1, c1, r2, c2)
+
+    # atol absorbs fp cancellation noise on exact-zero (same-element) pairs;
+    # values are O(1e3), so atol=0.1 is still a strict check
+    np.testing.assert_allclose(np.asarray(s_ab.s1), np.asarray(d_ab.s1),
+                               rtol=2e-3, atol=0.1)
+    np.testing.assert_allclose(np.asarray(s_ab.smu1), np.asarray(d_ab.smu1),
+                               rtol=2e-3, atol=0.1)
+    np.testing.assert_allclose(np.asarray(s_ab.s_pair),
+                               np.asarray(d_ab.s_pair), rtol=2e-3, atol=0.1)
+    np.testing.assert_allclose(np.asarray(s_ab.smu_pair),
+                               np.asarray(d_ab.smu_pair), rtol=2e-3, atol=0.1)
+
+
+def test_sparse_chisq_matches_dense_formula(sparse_data):
+    D = sparse_data
+    rng = np.random.default_rng(11)
+    M_a = jnp.asarray(rng.gamma(1.0, 1.0, (D.shape[0], 3)), jnp.float32)
+    M_p = jnp.asarray(rng.gamma(1.0, 1.0, (D.shape[1], 3)), jnp.float32)
+    got = float(sparse.sparse_chisq(sparse.to_ell(D), M_a, M_p))
+    S = np.where(D > 0, 0.1 * D, 0.1).astype(np.float32)
+    ap = np.asarray(M_a) @ np.asarray(M_p).T
+    want = float(np.sum(((D - ap) / S) ** 2))
+    assert got == pytest.approx(want, rel=1e-3)
+
+
+def test_sparse_run_converges(sparse_data):
+    res = CoGAPS(sparse_data, n_patterns=3, n_iterations=300, seed=1,
+                 messages=False, sparse_optimization=True,
+                 output_frequency=100)
+    h = res.diagnostics["chisqHistory"]
+    assert h[-1] < 0.2 * h[0]
+    assert res.Amean.shape == (30, 3)
+    assert (res.Amean >= 0).all()
+
+
+def test_sparse_same_shape_as_dense(sparse_data):
+    """test_output_across_modes.R: dense and sparse produce same-shape
+    results on the same data."""
+    r1 = CoGAPS(sparse_data, n_patterns=2, n_iterations=60, seed=1,
+                messages=False)
+    r2 = CoGAPS(sparse_data, n_patterns=2, n_iterations=60, seed=1,
+                messages=False, sparse_optimization=True)
+    assert r1.Amean.shape == r2.Amean.shape
+    assert r1.Pmean.shape == r2.Pmean.shape
+
+
+def test_sparse_rejects_custom_uncertainty(sparse_data):
+    with pytest.raises(ValueError):
+        CoGAPS(sparse_data, n_patterns=3, n_iterations=10, messages=False,
+               sparse_optimization=True,
+               uncertainty=np.full_like(sparse_data, 0.5))
