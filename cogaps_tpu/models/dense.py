@@ -62,10 +62,20 @@ class DensePhase(NamedTuple):
 
 
 class AlphaBatch(NamedTuple):
+    """Batched alphaParameters. err1/err_pair are fp32 noise-floor
+    estimates for smu1/smu_pair: when |smu| falls below its floor the
+    value is rounding noise and Gibbs draws must fail (the conditioning
+    analog of the reference's far-tail OptionalFloat failure). The dense
+    model stores its residual post-cancellation so its floor is ~0; the
+    sparse closed form reconstructs large cancelling sums per proposal
+    and supplies real floors (models/sparse.py)."""
+
     s1: jnp.ndarray
     smu1: jnp.ndarray
     s_pair: jnp.ndarray
     smu_pair: jnp.ndarray
+    err1: jnp.ndarray = jnp.float32(0.0)
+    err_pair: jnp.ndarray = jnp.float32(0.0)
 
 
 def default_uncertainty(D: np.ndarray) -> np.ndarray:

@@ -51,6 +51,13 @@ from .dense import AlphaBatch
 
 BETA = 100.0  # 1/0.1^2 (reference: SparseNormalModel.h:77)
 
+# fp32 noise floor per unit of absolute-value accumulation: ~2^-24 per
+# rounding, with headroom for the reduction length. |s_mu| below
+# NOISE_EPS * (abs-sum of its constituent terms) is indistinguishable from
+# rounding noise of the closed form's cancelling sums; Gibbs draws at such
+# proposals are rejected rather than sampled from garbage.
+NOISE_EPS = 1.0e-6
+
 
 class EllMatrix(NamedTuple):
     """Padded row-major sparse layout: for row r, idx[r, :] are the column
@@ -113,7 +120,17 @@ def make_sparse_phase(other_M: jnp.ndarray) -> SparsePhase:
 
 def _row_terms(ell: EllMatrix, phase: SparsePhase, M: jnp.ndarray, r, c):
     """Per-(proposal, nonzero) ingredients for data rows r: masked value
-    columns, reconstruction dots, and the single-element (s, s_mu)."""
+    columns, reconstruction dots, and the single-element (s, s_mu).
+
+    Numerical stability: the reference accumulates
+    s = Z1[c] + sum_nnz((v/d)^2 - v^2) (SparseNormalModel.cpp:153-192),
+    which cancels catastrophically in fp32 once the partner factor holds
+    large transient masses (cold-start Exp(lambda) births have mean
+    1/lambda) — noise around small true s flips it negative and the Gibbs
+    draws diverge. We regroup algebraically-identically into
+        s = [Z1[c] - sum_nnz v^2]_+  +  sum_nnz (v/d)^2
+    where the bracket is the zero-element part (mathematically >= 0, so
+    clamping loses nothing) and the second term is exact and positive."""
     gi = ell.idx[r]  # (B, L)
     d = ell.val[r]  # (B, L)
     mask = gi >= 0
@@ -124,11 +141,20 @@ def _row_terms(ell: EllMatrix, phase: SparsePhase, M: jnp.ndarray, r, c):
     v = jnp.take_along_axis(o_rows, c[:, None, None], axis=2)[..., 0]  # (B,L)
     d_safe = jnp.where(mask, d, 1.0)
     t1 = v / d_safe
-    s = phase.Z1[c] + jnp.sum(jnp.where(mask, t1 * t1 - v * v, 0.0), axis=-1)
-    smu = (-jnp.einsum("bk,bk->b", Mr, phase.Z2[:, c].T)
-           + jnp.sum(jnp.where(mask, t1 + (v - t1 / d_safe) * ap, 0.0),
-                     axis=-1))
-    return o_rows, d_safe, mask, ap, v, s, smu
+    s_zero = phase.Z1[c] - jnp.sum(jnp.where(mask, v * v, 0.0), axis=-1)
+    s = jnp.maximum(s_zero, 0.0) + jnp.sum(
+        jnp.where(mask, t1 * t1, 0.0), axis=-1)
+    z2_terms = Mr * phase.Z2[:, c].T  # (B, k)
+    nnz_terms = t1 + (v - t1 / d_safe) * ap
+    smu = (-jnp.sum(z2_terms, axis=-1)
+           + jnp.sum(jnp.where(mask, nnz_terms, 0.0), axis=-1))
+    # noise floor: accumulate PRE-cancellation magnitudes — (v - t1/d)
+    # itself cancels at d ~ 1, so its rounding error scales with |v*ap|,
+    # not with the residual term
+    nnz_abs = t1 + (v + t1 / d_safe) * ap
+    err = NOISE_EPS * (jnp.sum(z2_terms, axis=-1)
+                       + jnp.sum(jnp.where(mask, nnz_abs, 0.0), axis=-1))
+    return o_rows, d_safe, mask, ap, v, s, smu, err
 
 
 class SparseModel(NamedTuple):
@@ -142,25 +168,41 @@ def make_model(ell: EllMatrix, phase: SparsePhase) -> SparseModel:
 
     def alpha(mstate, M, r1, c1, r2, c2) -> AlphaBatch:
         del mstate
-        o1, d1, mask1, ap1, v11, s1, smu1 = _row_terms(ell, phase, M, r1, c1)
-        _, _, _, _, _, s2, smu2 = _row_terms(ell, phase, M, r2, c2)
+        o1, d1, mask1, ap1, v11, s1, smu1, err1 = _row_terms(
+            ell, phase, M, r1, c1)
+        _, _, _, _, _, s2, smu2, err2 = _row_terms(ell, phase, M, r2, c2)
 
-        # same-row pair (reference: SparseNormalModel.cpp:242-292)
+        # same-row pair (reference: SparseNormalModel.cpp:242-292), with the
+        # same stable regrouping as _row_terms: the zero-element part
+        # ||col1 - col2||^2 - sum_nnz vdiff^2 is mathematically >= 0
         v12 = jnp.take_along_axis(o1, c2[:, None, None], axis=2)[..., 0]
         dr = 1.0 / d1
         w = 1.0 - dr * dr
         vdiff = v11 - v12
         z2d = phase.Z2[:, c1].T - phase.Z2[:, c2].T  # (B, k)
-        s_same = (phase.Z1[c1] - 2.0 * phase.Z2[c1, c2] + phase.Z1[c2]
-                  - jnp.sum(jnp.where(mask1, vdiff * vdiff * w, 0.0), axis=-1))
-        smu_same = (-jnp.einsum("bk,bk->b", M[r1], z2d)
-                    + jnp.sum(jnp.where(mask1, vdiff * (ap1 * w + dr), 0.0),
-                              axis=-1))
+        s_same_zero = (phase.Z1[c1] - 2.0 * phase.Z2[c1, c2] + phase.Z1[c2]
+                       - jnp.sum(jnp.where(mask1, vdiff * vdiff, 0.0),
+                                 axis=-1))
+        s_same = jnp.maximum(s_same_zero, 0.0) + jnp.sum(
+            jnp.where(mask1, (vdiff * dr) ** 2, 0.0), axis=-1)
+        z2d_terms = M[r1] * z2d  # (B, k)
+        same_nnz = vdiff * (ap1 * w + dr)
+        smu_same = (-jnp.sum(z2d_terms, axis=-1)
+                    + jnp.sum(jnp.where(mask1, same_nnz, 0.0), axis=-1))
+        # pre-cancellation magnitudes: z2d = Z2[:,c1]-Z2[:,c2], w = 1-1/d^2,
+        # and vdiff = v1-v2 all cancel — bound by their unsigned parts
+        z2d_abs = M[r1] * (phase.Z2[:, c1].T + phase.Z2[:, c2].T)
+        same_abs = (v11 + v12) * (ap1 * (1.0 + dr * dr) + dr)
+        err_same = NOISE_EPS * (
+            jnp.sum(z2d_abs, axis=-1)
+            + jnp.sum(jnp.where(mask1, same_abs, 0.0), axis=-1))
         same = r1 == r2
         s_pair = jnp.where(same, s_same, s1 + s2)
         smu_pair = jnp.where(same, smu_same, smu1 - smu2)
+        err_pair = jnp.where(same, err_same, err1 + err2)
         return AlphaBatch(s1=BETA * s1, smu1=BETA * smu1,
-                          s_pair=BETA * s_pair, smu_pair=BETA * smu_pair)
+                          s_pair=BETA * s_pair, smu_pair=BETA * smu_pair,
+                          err1=BETA * err1, err_pair=BETA * err_pair)
 
     def apply(mstate, rows, cols, deltas):
         return mstate  # no cache (reference: extraInitialization is a nop)
@@ -170,19 +212,22 @@ def make_model(ell: EllMatrix, phase: SparsePhase) -> SparseModel:
 
 def sparse_chisq(ell_a: EllMatrix, M_a: jnp.ndarray, M_p: jnp.ndarray
                  ) -> jnp.ndarray:
-    """Closed-form chi^2 (reference: SparseNormalModel.cpp:39-60)."""
+    """Closed-form chi^2 (reference: SparseNormalModel.cpp:39-60), regrouped
+    for fp32 stability into two nonnegative parts:
+        chi^2/beta = [<Z2a, Z2p> - sum_nnz dot^2]_+  +  sum_nnz (1 - dot/d)^2
+    (the bracket is sum over zero elements of dot^2, so clamping is exact)."""
     z2a = jnp.dot(M_a.T, M_a, preferred_element_type=jnp.float32)
     z2p = jnp.dot(M_p.T, M_p, preferred_element_type=jnp.float32)
-    total = jnp.sum(z2a * z2p)
+    all_term = jnp.sum(z2a * z2p)
 
     mask = ell_a.idx >= 0
     o = M_p[jnp.maximum(ell_a.idx, 0)]  # (G, L, k)
     dot = jnp.einsum("glk,gk->gl", o, M_a,
                      preferred_element_type=jnp.float32)
     d = jnp.where(mask, ell_a.val, 1.0)
-    corr = 1.0 + dot * (dot - 2.0 * d - d * d * dot) / (d * d)
-    total = total + jnp.sum(jnp.where(mask, corr, 0.0))
-    return BETA * total
+    zero_part = all_term - jnp.sum(jnp.where(mask, dot * dot, 0.0))
+    nnz_part = jnp.sum(jnp.where(mask, (1.0 - dot / d) ** 2, 0.0))
+    return BETA * (jnp.maximum(zero_part, 0.0) + nnz_part)
 
 
 def sparsity(D: np.ndarray) -> float:

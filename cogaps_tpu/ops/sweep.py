@@ -193,6 +193,11 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     can1 = model.col_nz[c1]
     can2 = model.col_nz[c2]
     log_u = gaps_rng.log_uniform(u_acc)
+    # conditioning guard: a Gibbs draw whose s_mu is below the model's
+    # fp32 noise floor is sampled from rounding garbage — treat it like
+    # the reference's far-tail OptionalFloat failure (AlphaBatch.err*).
+    rel1 = jnp.abs(ab.smu1) > ab.err1
+    rel_pair = jnp.abs(ab.smu_pair) > ab.err_pair
 
     # birth lane (reference: SingleThreadedGibbsSampler.h:131-149)
     b_s = ab.s1 * temp
@@ -201,15 +206,16 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
                                        mass.max_gibbs_mass, mass.lam)
     e_mass = gaps_rng.exponential(u_exp, mass.lam)
     b_mass = jnp.where(can1, g_mass, e_mass)
-    b_has = jnp.where(can1, g_ok, True)
+    b_has = jnp.where(can1, g_ok & rel1, True)
     birth_acc = is_birth & b_has & (b_mass > EPS)
 
     # death lane (h:154-188); withChange(-m1): s_mu' = s_mu + m1*s
     d_s = ab.s1 * temp
     d_smu = (ab.smu1 + m1 * ab.s1) * temp
+    rel_d = jnp.abs(ab.smu1 + m1 * ab.s1) > ab.err1
     d_gm, d_gok = gaps_rng.gibbs_mass(u_gibbs, d_s, d_smu, 0.0,
                                       mass.max_gibbs_mass, mass.lam)
-    rebirth = jnp.where(can1 & d_gok, d_gm, m1)
+    rebirth = jnp.where(can1 & d_gok & rel_d, d_gm, m1)
     dll_death = rebirth * (d_smu - d_s * rebirth * 0.5)
     death_rebirth = is_death & (log_u < dll_death)
     death_kill = is_death & ~(log_u < dll_death)
@@ -225,7 +231,8 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     x_mass, x_ok = gaps_rng.gibbs_mass(u_gibbs, p_s, p_smu, -m1, m2)
     nm1 = m1 + x_mass
     nm2 = m2 - x_mass
-    ex_acc = is_exch & ~same_elem & (can1 | can2) & x_ok & (nm1 > EPS) & (nm2 > EPS)
+    ex_acc = (is_exch & ~same_elem & (can1 | can2) & x_ok & rel_pair
+              & (nm1 > EPS) & (nm2 > EPS))
 
     # ---- apply matrix changes (each element touched at most once; clamped
     # like safelyChangeMatrix, reference: DenseNormalModel.cpp:117-123) ----

@@ -1,0 +1,14 @@
+import numpy as np, jax, jax.numpy as jnp
+from cogaps_tpu.params import CogapsParams
+from cogaps_tpu.engine import GapsEngine, EQUILIBRATION
+rng = np.random.default_rng(5)
+A = rng.gamma(2.0, 1.0, (30, 3)) * (rng.random((30, 3)) < 0.5)
+P = rng.gamma(2.0, 1.0, (20, 3)) * (rng.random((20, 3)) < 0.5)
+D = (A @ P.T).astype(np.float32) * 10.0
+cfg = CogapsParams(n_patterns=3, n_iterations=300, seed=1).engine_config(30, 20)
+eng = GapsEngine(D, None, cfg)
+state = eng.init_state(); stats = eng.init_stats()
+key = jax.random.PRNGKey(1)
+for t in range(0, 100, 10):
+    state, stats = eng.run_span(state, stats, key, EQUILIBRATION, t, t + 10)
+    print(f"it {t+10} maxMa {np.asarray(state.M_a).max():.4g} maxMp {np.asarray(state.M_p).max():.4g} nA {int(state.atoms_a.n)} nP {int(state.atoms_p.n)} chisq {eng.chisq(state):.5g}")
