@@ -273,6 +273,21 @@ def run_phase_span(cfg: EngineConfig, consts_a: SamplerConsts,
     return jax.lax.fori_loop(start_iter, stop_iter, body, (state, stats))
 
 
+def dispatch_spans(start: int, stop: int, span: int):
+    """Host-side span schedule: one XLA program per <=span iterations.
+    Long single programs (the whole phase) trip the TPU device watchdog;
+    spans dispatch asynchronously so chunking adds no host-sync stalls."""
+    if span <= 0:
+        yield (start, stop)
+        return
+    a = int(start)
+    stop = int(stop)
+    while a < stop:
+        b = min(a + span, stop)
+        yield (a, b)
+        a = b
+
+
 def init_chain_state(cfg: EngineConfig, data: DeviceData,
                      fixed_patterns=None) -> ChainState:
     k = cfg.n_patterns
@@ -402,17 +417,19 @@ class GapsEngine:
 
     # ------------------------------------------------------------------
     def run_phase(self, state, stats, seed_key, phase: int, start_iter=0):
-        return self._run_phase(phase, self.data, state, stats, seed_key,
-                               jnp.asarray(start_iter, jnp.int32),
-                               jnp.asarray(self.config.n_iterations,
-                                           jnp.int32))
+        return self.run_span(state, stats, seed_key, phase, start_iter,
+                             self.config.n_iterations)
 
     def run_span(self, state, stats, seed_key, phase: int, start_iter,
                  stop_iter):
-        """Run iterations [start, stop) of one phase (checkpoint chunking)."""
-        return self._run_phase(phase, self.data, state, stats, seed_key,
-                               jnp.asarray(start_iter, jnp.int32),
-                               jnp.asarray(stop_iter, jnp.int32))
+        """Run iterations [start, stop) of one phase, dispatched in
+        bounded spans (checkpoint chunking reuses the same path)."""
+        for a, b in dispatch_spans(start_iter, stop_iter,
+                                   self.config.dispatch_iters):
+            state, stats = self._run_phase(
+                phase, self.data, state, stats, seed_key,
+                jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32))
+        return state, stats
 
     def chisq(self, state: ChainState) -> float:
         return float(dense.chisq(dense.DenseCache(state.R), self.invS2))

@@ -13,9 +13,14 @@ counts is indistinguishable from uniform element sampling (collision
 probability ~ n/2^64), and (b) neighbor selection for move/exchange, which
 is a *proposal choice*, not part of the target density (positions carry a
 uniform prior). We therefore store atoms as a fixed-capacity table of
-(element, mass) pairs, compacted so the n live atoms occupy slots [0, n):
-uniform atom selection is then a single randint, and insert/erase/compact
-are O(capacity) masked scatters — no sorting, no pointers.
+(element, mass) pairs WITH HOLES: a slot is live iff elem >= 0. The table
+is never compacted — compaction would cost two full-capacity scatters per
+sweep, which serialize on the TPU's scatter unit and dominated the round-1
+profile. Instead, uniform selection over live atoms and free-slot lookup
+for births go through one per-sweep O(capacity) cumsum (a fully vectorized
+log-depth VPU op) plus O(batch * log capacity) vectorized binary searches.
+The reference's own erase is swap-with-back for the same O(1)-ish reason
+(reference: src/atomic/AtomicDomain.cpp:80-111).
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ from flax import struct
 
 @struct.dataclass
 class AtomTable:
-    """Fixed-capacity atom storage, compacted to slots [0, n)."""
+    """Fixed-capacity atom storage with holes (live iff elem >= 0)."""
 
     mass: jnp.ndarray  # (capacity,) float32, 0 where empty
     elem: jnp.ndarray  # (capacity,) int32, matrix element index, -1 where empty
@@ -45,9 +50,30 @@ def init_atoms(capacity: int) -> AtomTable:
     )
 
 
+def live_cumsum(atoms: AtomTable) -> jnp.ndarray:
+    """Inclusive cumsum of the live mask — the per-sweep index structure
+    for rank->slot and free-slot queries (one vectorized VPU pass)."""
+    return jnp.cumsum((atoms.elem >= 0).astype(jnp.int32))
+
+
+def rank_to_slot(cum: jnp.ndarray, ranks: jnp.ndarray) -> jnp.ndarray:
+    """Slot index of the (rank+1)-th live atom (vectorized binary search).
+    Ranks must be < n; uniform ranks => uniform live atoms."""
+    return jnp.searchsorted(cum, ranks + 1, side="left").astype(jnp.int32)
+
+
+def free_rank_to_slot(cum: jnp.ndarray, ranks: jnp.ndarray) -> jnp.ndarray:
+    """Slot index of the (rank+1)-th FREE slot (for deterministic birth
+    placement). Ranks must be < capacity - n."""
+    capacity = cum.shape[0]
+    free_cum = jnp.arange(1, capacity + 1, dtype=jnp.int32) - cum
+    return jnp.searchsorted(free_cum, ranks + 1, side="left").astype(jnp.int32)
+
+
 def compact(mass: jnp.ndarray, elem: jnp.ndarray, n_new: jnp.ndarray) -> AtomTable:
-    """Stable O(capacity) compaction via cumsum + masked scatter: live atoms
-    move to slots [0, n) preserving order (determinism contract)."""
+    """Stable O(capacity) compaction: live atoms move to slots [0, n)
+    preserving order. NOT used in the sweep hot path (holes are allowed);
+    kept for checkpoint normalization and tests."""
     capacity = mass.shape[0]
     valid = elem >= 0
     pos = jnp.cumsum(valid.astype(jnp.int32)) - 1

@@ -53,7 +53,8 @@ import jax.numpy as jnp
 
 from ..models import dense
 from ..ops import rng as gaps_rng
-from ..ops.atoms import AtomTable, compact
+from ..ops.atoms import (AtomTable, free_rank_to_slot, live_cumsum,
+                         rank_to_slot)
 
 
 class SamplerConsts(NamedTuple):
@@ -143,10 +144,16 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     is_exch = active & ~small & (u1 >= 0.75)
 
     # ---- picks ----
+    # uniform *ranks* over the n live atoms, mapped to table slots through
+    # one cumsum + vectorized binary search (atoms may occupy any slots —
+    # the table is hole-based, ops/atoms.py)
     n_c = jnp.maximum(n, 1)
-    a1 = jax.random.randint(ku[5], (B,), 0, n_c, jnp.int32)
-    a2r = jax.random.randint(ku[6], (B,), 0, jnp.maximum(n - 1, 1), jnp.int32)
-    a2 = a2r + (a2r >= a1).astype(jnp.int32)  # uniform over atoms != a1
+    cum = live_cumsum(atoms)
+    a1r = jax.random.randint(ku[5], (B,), 0, n_c, jnp.int32)
+    a2rr = jax.random.randint(ku[6], (B,), 0, jnp.maximum(n - 1, 1), jnp.int32)
+    a2r_ = a2rr + (a2rr >= a1r).astype(jnp.int32)  # uniform over ranks != a1r
+    a1 = rank_to_slot(cum, a1r)
+    a2 = rank_to_slot(cum, jnp.minimum(a2r_, n_c - 1))
     e_rand = jax.random.randint(ku[7], (B, 2), 0, NB, jnp.int32)
     e_birth = e_rand[:, 0]
     e_move = e_rand[:, 1]
@@ -269,13 +276,13 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     mass_arr = mass_arr.at[a2_idx].set(nm2, mode="drop")
 
     birth_rank = jnp.cumsum(birth_acc.astype(jnp.int32))
-    b_idx = jnp.where(birth_acc, n + birth_rank - 1, C)
+    b_idx = jnp.where(birth_acc, free_rank_to_slot(cum, birth_rank - 1), C)
     mass_arr = mass_arr.at[b_idx].set(b_mass, mode="drop")
     elem_arr = elem_arr.at[b_idx].set(e_birth, mode="drop")
 
     n_new = (n + jnp.sum(birth_acc.astype(jnp.int32))
              - jnp.sum(death_kill.astype(jnp.int32)))
-    atoms = compact(mass_arr, elem_arr, n_new)
+    atoms = AtomTable(mass=mass_arr, elem=elem_arr, n=n_new)
 
     n_processed = jnp.sum(keep.astype(jnp.int32))
     return atoms, M, mstate, n_processed

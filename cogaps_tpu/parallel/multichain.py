@@ -138,7 +138,11 @@ class MultichainEngine:
     def run_phase(self, state, stats, seed_keys, phase: int,
                   start_iter=0, stop_iter=None
                   ) -> Tuple[ChainState, RunStats]:
+        from ..engine import dispatch_spans
         stop = self.config.n_iterations if stop_iter is None else stop_iter
-        return self._run_phase(phase, self.data, state, stats, seed_keys,
-                               jnp.asarray(start_iter, jnp.int32),
-                               jnp.asarray(stop, jnp.int32))
+        for a, b in dispatch_spans(start_iter, stop,
+                                   self.config.dispatch_iters):
+            state, stats = self._run_phase(
+                phase, self.data, state, stats, seed_keys,
+                jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32))
+        return state, stats

@@ -86,6 +86,11 @@ class CogapsParams:
     atom_capacity_p: Optional[int] = None
     rebuild_interval: int = 100  # exact residual rebuild every N iterations (0=off)
     n_chains: int = 1  # independent vmapped chains
+    # max iterations per device dispatch: long-running single XLA programs
+    # trip device-side watchdogs (observed on TPU v5e at ~2000 GIST
+    # iterations in one program), so phases run as a host-side loop of
+    # bounded spans; the per-span dispatch cost (~100us) is negligible.
+    dispatch_iters: int = 250
 
     # ------------------------------------------------------------------
     def resolved_seed(self) -> int:
@@ -253,6 +258,7 @@ class CogapsParams:
             n_snapshots=int(self.n_snapshots),
             snapshot_phase=self.snapshot_phase,
             take_pump_samples=bool(self.take_pump_samples),
+            dispatch_iters=int(self.dispatch_iters),
         )
 
 
@@ -277,3 +283,4 @@ class EngineConfig:
     n_snapshots: int
     snapshot_phase: str
     take_pump_samples: bool
+    dispatch_iters: int = 250

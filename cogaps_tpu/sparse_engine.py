@@ -157,16 +157,18 @@ class SparseGapsEngine:
 
     # ------------------------------------------------------------------
     def run_phase(self, state, stats, seed_key, phase: int, start_iter=0):
-        return self._run_phase(phase, self.data, state, stats, seed_key,
-                               jnp.asarray(start_iter, jnp.int32),
-                               jnp.asarray(self.config.n_iterations,
-                                           jnp.int32))
+        return self.run_span(state, stats, seed_key, phase, start_iter,
+                             self.config.n_iterations)
 
     def run_span(self, state, stats, seed_key, phase: int, start_iter,
                  stop_iter):
-        return self._run_phase(phase, self.data, state, stats, seed_key,
-                               jnp.asarray(start_iter, jnp.int32),
-                               jnp.asarray(stop_iter, jnp.int32))
+        from .engine import dispatch_spans
+        for a, b in dispatch_spans(start_iter, stop_iter,
+                                   self.config.dispatch_iters):
+            state, stats = self._run_phase(
+                phase, self.data, state, stats, seed_key,
+                jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32))
+        return state, stats
 
     def chisq(self, state: SparseChainState) -> float:
         return float(sparse.sparse_chisq(self.data.ell_a, state.M_a,
