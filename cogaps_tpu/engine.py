@@ -221,10 +221,10 @@ def accumulate_stats(cfg: EngineConfig, hist: HistConfig, phase: int, it,
                 n_stat=stats.n_stat + 1)
             if cfg.take_pump_samples:
                 amax = jnp.argmax(M_a, axis=1)
-                stats = stats.replace(
-                    pump=stats.pump.at[
-                        jnp.arange(n_genes), amax].add(1.0),
-                    n_pump=stats.n_pump + 1)
+                pump_oh = (amax[:, None] == jnp.arange(
+                    M_a.shape[1])[None, :]).astype(jnp.float32)
+                stats = stats.replace(pump=stats.pump + pump_oh,
+                                      n_pump=stats.n_pump + 1)
 
     # snapshots (GapsRunner.cpp:316-322); layout [equil block | sampling]
     if hist.snap_freq > 0 and (
@@ -233,10 +233,11 @@ def accumulate_stats(cfg: EngineConfig, hist: HistConfig, phase: int, it,
             or (cfg.snapshot_phase == "sampling" and phase == SAMPLING)):
         take = (it + 1) % hist.snap_freq == 0
         s_idx = (phase * cfg.n_snapshots + (it + 1) // hist.snap_freq - 1)
-        s_idx = jnp.where(take, s_idx, stats.snap_a.shape[0])
+        s_idx = jnp.where(take, s_idx, -1)  # -1 => no slot matches
+        from .ops.onehot import write_at
         stats = stats.replace(
-            snap_a=stats.snap_a.at[s_idx].set(M_a, mode="drop"),
-            snap_p=stats.snap_p.at[s_idx].set(M_p, mode="drop"))
+            snap_a=write_at(stats.snap_a, s_idx, M_a[None]),
+            snap_p=write_at(stats.snap_p, s_idx, M_p[None]))
 
     # chi^2 / atom-count history every outputFrequency
     # (GapsRunner.cpp:160-199)
@@ -248,13 +249,12 @@ def accumulate_stats(cfg: EngineConfig, hist: HistConfig, phase: int, it,
             n_atoms_a = jax.lax.psum(n_atoms_a, axis_name)
         h_idx = (phase * (hist.n_hist // 2)
                  + (it + 1) // cfg.output_frequency - 1)
-        h_idx = jnp.where(rec, h_idx, hist.n_hist)
+        h_idx = jnp.where(rec, h_idx, -1)  # -1 => no slot matches
+        from .ops.onehot import write_at
         stats = stats.replace(
-            chisq_hist=stats.chisq_hist.at[h_idx].set(cs, mode="drop"),
-            atom_hist_a=stats.atom_hist_a.at[h_idx].set(
-                n_atoms_a, mode="drop"),
-            atom_hist_p=stats.atom_hist_p.at[h_idx].set(
-                n_atoms_p, mode="drop"))
+            chisq_hist=write_at(stats.chisq_hist, h_idx, cs),
+            atom_hist_a=write_at(stats.atom_hist_a, h_idx, n_atoms_a),
+            atom_hist_p=write_at(stats.atom_hist_p, h_idx, n_atoms_p))
 
     return stats
 

@@ -116,22 +116,27 @@ def rebuild_cache(D: jnp.ndarray, invS2: jnp.ndarray, M: jnp.ndarray,
 
 
 def alpha_batch(cache: DenseCache, phase: DensePhase, invS2: jnp.ndarray,
-                r1, c1, r2, c2, axis_name=None) -> AlphaBatch:
-    """Batched alphaParameters for B proposals (single + pair forms).
+                addr, axis_name=None) -> AlphaBatch:
+    """Batched alphaParameters for B proposals (single + pair forms),
+    fully gather-free: all row access is one-hot matmul through
+    addr.oh_up / addr.ohc_up (ops/sweep.py AddrBatch).
     With `axis_name`, the row-reductions run over a device-sharded
     reduction axis and are psum'd (gene-sharded P sampler)."""
-    s1 = phase.SQ[r1, c1]
-    s2 = phase.SQ[r2, c2]
-    Rr1 = cache.R[r1]  # (B, m)
-    Rr2 = cache.R[r2]
-    o1 = phase.otherT[c1]  # (B, m)
-    o2 = phase.otherT[c2]
-    smu1 = jnp.sum(Rr1 * o1, axis=-1)
-    smu2 = jnp.sum(Rr2 * o2, axis=-1)
-    same_row = (r1 == r2).astype(jnp.float32)
-    x = jnp.sum(o1 * o2 * invS2[r1], axis=-1)
+    B = addr.r1.shape[0]
+    from ..ops import onehot as oh
+    s_up = oh.select_cols(oh.gather_rows(phase.SQ, addr.oh_up), addr.ohc_up)
+    R_up = oh.gather_rows(cache.R, addr.oh_up)  # (2B, m)
+    o_up = oh.matmul(addr.ohc_up, phase.otherT)  # (2B, m)
+    smu_up = jnp.sum(R_up * o_up, axis=-1)
+    same_row = (addr.r1 == addr.r2).astype(jnp.float32)
+    invS2r1 = oh.gather_rows(invS2, addr.oh_up[:B])
+    x = jnp.sum(o_up[:B] * o_up[B:] * invS2r1, axis=-1)
+    smu1 = smu_up[:B]
+    smu2 = smu_up[B:]
     if axis_name is not None:
         smu1, smu2, x = jax.lax.psum((smu1, smu2, x), axis_name)
+    s1 = s_up[:B]
+    s2 = s_up[B:]
     return AlphaBatch(
         s1=s1,
         smu1=smu1,
@@ -141,16 +146,17 @@ def alpha_batch(cache: DenseCache, phase: DensePhase, invS2: jnp.ndarray,
 
 
 def apply_updates(cache: DenseCache, phase: DensePhase, invS2: jnp.ndarray,
-                  rows, cols, deltas) -> DenseCache:
+                  upd) -> DenseCache:
     """R[r, :] -= delta * other[:, c] * invS2[r, :] for each applied matrix
-    change — the scatter form of updateAPMatrix (reference:
-    DenseNormalModel.cpp:243-258). `rows` may contain out-of-bounds
-    sentinels for masked lanes (dropped); `deltas` are the *actual*
-    (clamp-adjusted) deltas, matching safelyChangeMatrix (cpp:117-123)."""
-    n_rows = cache.R.shape[0]
-    rows_g = jnp.minimum(rows, n_rows - 1)
-    contrib = deltas[:, None] * phase.otherT[cols] * invS2[rows_g]
-    return DenseCache(R=cache.R.at[rows].add(-contrib, mode="drop"))
+    change — the one-hot matmul form of updateAPMatrix (reference:
+    DenseNormalModel.cpp:243-258). `upd.deltas` are the *actual*
+    (clamp-adjusted) deltas, matching safelyChangeMatrix (cpp:117-123);
+    masked lanes carry zero one-hot rows and zero deltas."""
+    from ..ops import onehot as oh
+    o = oh.matmul(upd.ohc, phase.otherT)  # (2B, m)
+    invS2r = oh.gather_rows(invS2, upd.oh_rows)
+    contrib = upd.deltas[:, None] * o * invS2r
+    return DenseCache(R=cache.R - oh.matmul(upd.oh_rows.T, contrib))
 
 
 class DenseModel(NamedTuple):
@@ -158,22 +164,22 @@ class DenseModel(NamedTuple):
     closes over the per-update-phase constants (frozen partner factor
     tables + uncertainty); the mutable mstate is the DenseCache residual."""
 
-    col_nz: jnp.ndarray
-    alpha: object  # fn(mstate, M, r1, c1, r2, c2) -> AlphaBatch
-    apply: object  # fn(mstate, rows, cols, deltas) -> mstate
+    col_nz: jnp.ndarray  # (k,) float32 in {0, 1}
+    alpha: object  # fn(mstate, M, addr: AddrBatch) -> AlphaBatch
+    apply: object  # fn(mstate, upd: ApplyBatch) -> mstate
 
 
 def make_model(phase: DensePhase, invS2: jnp.ndarray,
                axis_name=None) -> DenseModel:
-    def alpha(mstate: DenseCache, M, r1, c1, r2, c2):
+    def alpha(mstate: DenseCache, M, addr):
         del M  # the dense model reads the residual cache, not M
-        return alpha_batch(mstate, phase, invS2, r1, c1, r2, c2,
-                           axis_name=axis_name)
+        return alpha_batch(mstate, phase, invS2, addr, axis_name=axis_name)
 
-    def apply(mstate: DenseCache, rows, cols, deltas):
-        return apply_updates(mstate, phase, invS2, rows, cols, deltas)
+    def apply(mstate: DenseCache, upd):
+        return apply_updates(mstate, phase, invS2, upd)
 
-    return DenseModel(col_nz=phase.col_nz, alpha=alpha, apply=apply)
+    return DenseModel(col_nz=phase.col_nz.astype(jnp.float32),
+                      alpha=alpha, apply=apply)
 
 
 def chisq(cache: DenseCache, invS2: jnp.ndarray) -> jnp.ndarray:

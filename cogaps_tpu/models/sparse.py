@@ -166,11 +166,13 @@ class SparseModel(NamedTuple):
 def make_model(ell: EllMatrix, phase: SparsePhase) -> SparseModel:
     """Sweep adapter (see ops/sweep.py protocol)."""
 
-    def alpha(mstate, M, r1, c1, r2, c2) -> AlphaBatch:
+    def alpha(mstate, M, addr) -> AlphaBatch:
         del mstate
+        r1, c1, r2, c2 = addr.r1, addr.c1, addr.r2, addr.c2
         o1, d1, mask1, ap1, v11, s1, smu1, err1 = _row_terms(
             ell, phase, M, r1, c1)
-        _, _, _, _, _, s2, smu2, err2 = _row_terms(ell, phase, M, r2, c2)
+        _, _, _, _, _, s2, smu2, err2 = _row_terms(
+            ell, phase, M, r2, c2)
 
         # same-row pair (reference: SparseNormalModel.cpp:242-292), with the
         # same stable regrouping as _row_terms: the zero-element part
@@ -204,10 +206,11 @@ def make_model(ell: EllMatrix, phase: SparsePhase) -> SparseModel:
                           s_pair=BETA * s_pair, smu_pair=BETA * smu_pair,
                           err1=BETA * err1, err_pair=BETA * err_pair)
 
-    def apply(mstate, rows, cols, deltas):
+    def apply(mstate, upd):
         return mstate  # no cache (reference: extraInitialization is a nop)
 
-    return SparseModel(col_nz=phase.col_nz, alpha=alpha, apply=apply)
+    return SparseModel(col_nz=phase.col_nz.astype(jnp.float32),
+                       alpha=alpha, apply=apply)
 
 
 def sparse_chisq(ell_a: EllMatrix, M_a: jnp.ndarray, M_p: jnp.ndarray

@@ -14,13 +14,18 @@ rows* therefore commute exactly — the likelihood factorizes across rows
 while the partner factor is frozen. The reference builds a serial queue of
 such proposals and replays conflicts via RNG rollback
 (ProposalQueue.cpp:169-232); we instead draw a wide batch of B candidate
-proposals with counter-based RNG, keep the first proposal per row and per
-touched atom (deterministic scatter-min priority), and evaluate + apply
-all survivors in one fused step. Like the reference's queue — which
-admits whole batches under a single atom-count window and inserts pending
-zero-mass births into the domain mid-batch (ProposalQueue.cpp:135-158,180)
-— all proposals within a batch use the batch-start atom count for the
-birth/death decision.
+proposals with counter-based RNG, keep each proposal iff no earlier lane
+touches its rows or atoms (deterministic first-wins priority), and
+evaluate + apply all survivors in one fused step. Like the reference's
+queue — which admits whole batches under a single atom-count window
+(ProposalQueue.cpp:135-158) — all proposals within a batch use the
+batch-start atom count for the birth/death decision.
+
+Execution strategy (see ops/onehot.py): every indexed access is a one-hot
+matmul and every prefix count a triangular matmul, because on this TPU a
+dynamic gather/scatter/searchsorted HLO costs ~85us serialized while the
+equivalent MXU matmul costs ~1us. The sweep contains NO gather, scatter,
+sort, or searchsorted ops.
 
 Proposal kernels replicate SingleThreadedGibbsSampler.h exactly at the
 element level:
@@ -51,10 +56,9 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..models import dense
+from ..ops import onehot as oh
 from ..ops import rng as gaps_rng
-from ..ops.atoms import (AtomTable, free_rank_to_slot, live_cumsum,
-                         rank_to_slot)
+from ..ops.atoms import AtomTable
 
 
 class SamplerConsts(NamedTuple):
@@ -82,6 +86,30 @@ class MassParams(NamedTuple):
     max_gibbs_mass: jnp.ndarray  # () float32, already scaled by 1/lambda
 
 
+class AddrBatch(NamedTuple):
+    """Proposal addresses with their one-hot row/column selectors.
+    oh_up stacks [r1 | r2] one-hots ((2B, n_rows)); ohc_up stacks
+    [c1 | c2] ((2B, k)). Models do all row access through these."""
+
+    r1: jnp.ndarray
+    c1: jnp.ndarray
+    r2: jnp.ndarray
+    c2: jnp.ndarray
+    oh_up: jnp.ndarray
+    ohc_up: jnp.ndarray
+
+
+class ApplyBatch(NamedTuple):
+    """Accepted matrix deltas: element (rows, cols) changes by deltas,
+    with invalid lanes already zeroed in `oh_rows` AND `deltas`."""
+
+    rows: jnp.ndarray  # (2B,) int32
+    cols: jnp.ndarray  # (2B,) int32
+    deltas: jnp.ndarray  # (2B,) float32 (0 where not applied)
+    oh_rows: jnp.ndarray  # (2B, n_rows), zero rows where not applied
+    ohc: jnp.ndarray  # (2B, k)
+
+
 def make_consts(n_rows: int, m: int, k: int, capacity: int, batch: int,
                 alpha: float, axis_name=None) -> SamplerConsts:
     n_bins = n_rows * k
@@ -101,6 +129,10 @@ def death_prob(n_f32: jnp.ndarray, consts: SamplerConsts) -> jnp.ndarray:
     return numer / denom
 
 
+def _eq(a, b):
+    return a[:, None] == b[None, :]
+
+
 def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
           mstate, temp: jnp.ndarray, remaining: jnp.ndarray,
           consts: SamplerConsts, mass: MassParams, *, model
@@ -109,9 +141,9 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
 
     `model` is a trace-time adapter built per update-phase
     (dense.make_model / sparse.make_model) exposing:
-      * model.alpha(mstate, M, r1, c1, r2, c2) -> AlphaBatch
-      * model.apply(mstate, rows, cols, deltas) -> mstate  (cache update)
-      * model.col_nz -> (k,) bool, canUseGibbs per column
+      * model.alpha(mstate, M, addr: AddrBatch) -> AlphaBatch
+      * model.apply(mstate, upd: ApplyBatch) -> mstate  (cache update)
+      * model.col_nz -> (k,) float32 in {0,1}, canUseGibbs per column
     `mstate` is the model's mutable cache pytree (dense: the weighted
     residual; sparse: empty — it has no cache, SparseNormalModel.cpp has
     no AP matrix)."""
@@ -125,12 +157,10 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     idx = jnp.arange(B, dtype=jnp.int32)
     n = atoms.n
 
-    ku = jax.random.split(key, 8)
-    u1 = jax.random.uniform(ku[0], (B,), jnp.float32)
-    u2 = jax.random.uniform(ku[1], (B,), jnp.float32)
-    u_gibbs = jax.random.uniform(ku[2], (B,), jnp.float32)
-    u_exp = jax.random.uniform(ku[3], (B,), jnp.float32)
-    u_acc = jax.random.uniform(ku[4], (B,), jnp.float32)
+    k_u, k_i = jax.random.split(key, 2)
+    us = jax.random.uniform(k_u, (B, 5), jnp.float32)
+    u1, u2, u_gibbs, u_exp, u_acc = (us[:, j] for j in range(5))
+    ui = jax.random.uniform(k_i, (B, 4), jnp.float32)
 
     active = idx < jnp.minimum(remaining, B)
 
@@ -145,23 +175,29 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
 
     # ---- picks ----
     # uniform *ranks* over the n live atoms, mapped to table slots through
-    # one cumsum + vectorized binary search (atoms may occupy any slots —
-    # the table is hole-based, ops/atoms.py)
+    # blocked prefix counts + two-level one-hot selection (atoms may occupy
+    # any slots — the table is hole-based, ops/atoms.py)
     n_c = jnp.maximum(n, 1)
-    cum = live_cumsum(atoms)
-    a1r = jax.random.randint(ku[5], (B,), 0, n_c, jnp.int32)
-    a2rr = jax.random.randint(ku[6], (B,), 0, jnp.maximum(n - 1, 1), jnp.int32)
+    li = oh.live_index(atoms.elem)
+    nf = n_c.astype(jnp.float32)
+    a1r = jnp.minimum((ui[:, 0] * nf).astype(jnp.int32), n_c - 1)
+    n1f = jnp.maximum(n - 1, 1).astype(jnp.float32)
+    a2rr = jnp.minimum((ui[:, 1] * n1f).astype(jnp.int32),
+                       jnp.maximum(n - 1, 1) - 1)
     a2r_ = a2rr + (a2rr >= a1r).astype(jnp.int32)  # uniform over ranks != a1r
-    a1 = rank_to_slot(cum, a1r)
-    a2 = rank_to_slot(cum, jnp.minimum(a2r_, n_c - 1))
-    e_rand = jax.random.randint(ku[7], (B, 2), 0, NB, jnp.int32)
-    e_birth = e_rand[:, 0]
-    e_move = e_rand[:, 1]
+    ref1 = oh.rank_to_slot(li, a1r)
+    ref2 = oh.rank_to_slot(li, jnp.minimum(a2r_, n_c - 1))
+    a1 = ref1.slot
+    a2 = ref2.slot
+    e_birth = jnp.minimum((ui[:, 2] * NB).astype(jnp.int32), NB - 1)
+    e_move = jnp.minimum((ui[:, 3] * NB).astype(jnp.int32), NB - 1)
 
-    elem1 = jnp.where(is_birth, e_birth, jnp.maximum(atoms.elem[a1], 0))
-    m1 = jnp.where(is_birth, 0.0, atoms.mass[a1])
-    elem2 = jnp.where(is_move, e_move, jnp.maximum(atoms.elem[a2], 0))
-    m2 = atoms.mass[a2]
+    elem_a1 = oh.table_gather_i32(atoms.elem, ref1)
+    elem_a2 = oh.table_gather_i32(atoms.elem, ref2)
+    elem1 = jnp.where(is_birth, e_birth, jnp.maximum(elem_a1, 0))
+    m1 = jnp.where(is_birth, 0.0, oh.table_gather_f32(atoms.mass, ref1))
+    elem2 = jnp.where(is_move, e_move, jnp.maximum(elem_a2, 0))
+    m2 = oh.table_gather_f32(atoms.mass, ref2)
     r1 = elem1 // K
     c1 = elem1 - r1 * K
     r2 = elem2 // K
@@ -171,24 +207,25 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
 
     # ---- conflict resolution: first proposal per row / per atom wins ----
     # (replaces ProposalQueue's mUsedMatrixIndices / mUsedAtoms hash sets,
-    #  reference: ProposalQueue.h:58-61, cpp:175-232)
-    w_rows = jnp.full((NR + 1,), B, jnp.int32)
-    w_rows = w_rows.at[jnp.where(active, r1, NR)].min(idx)
-    w_rows = w_rows.at[jnp.where(uses2, r2, NR)].min(idx)
-    keep = active & (w_rows[r1] == idx)
-    keep &= jnp.where(uses2, w_rows[r2] == idx, True)
-
-    w_atoms = jnp.full((C + 1,), B, jnp.int32)
-    w_atoms = w_atoms.at[jnp.where(uses_a1, a1, C)].min(idx)
-    w_atoms = w_atoms.at[jnp.where(is_exch, a2, C)].min(idx)
-    keep &= jnp.where(uses_a1, w_atoms[a1] == idx, True)
-    keep &= jnp.where(is_exch, w_atoms[a2] == idx, True)
+    #  reference: ProposalQueue.h:58-61, cpp:175-232) — pairwise lane
+    #  comparisons, earlier lane wins (no scatter-min)
+    conflict = (_eq(r1, r1)
+                | (uses2[None, :] & _eq(r1, r2))
+                | (uses2[:, None] & _eq(r2, r1))
+                | ((uses2[:, None] & uses2[None, :]) & _eq(r2, r2))
+                | ((uses_a1[:, None] & uses_a1[None, :]) & _eq(a1, a1))
+                | ((uses_a1[:, None] & is_exch[None, :]) & _eq(a1, a2))
+                | ((is_exch[:, None] & uses_a1[None, :]) & _eq(a2, a1))
+                | ((is_exch[:, None] & is_exch[None, :]) & _eq(a2, a2)))
+    conflict &= active[None, :]
+    keep = active & oh.first_wins(conflict)
 
     # capacity guard (conservative pre-rank), then exact budget truncation
-    pre_birth_rank = jnp.cumsum((keep & is_birth).astype(jnp.int32))
-    keep &= jnp.where(is_birth, n + pre_birth_rank - 1 < C, True)
-    rank = jnp.cumsum(keep.astype(jnp.int32))
-    keep &= rank <= remaining
+    pre_birth_rank = oh.lane_cumsum((keep & is_birth).astype(jnp.float32))
+    keep &= jnp.where(is_birth,
+                      n.astype(jnp.float32) + pre_birth_rank - 1.0 < C, True)
+    rank = oh.lane_cumsum(keep.astype(jnp.float32))
+    keep &= rank <= remaining.astype(jnp.float32)
 
     is_birth &= keep
     is_death &= keep
@@ -196,9 +233,13 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     is_exch &= keep
 
     # ---- evaluate alpha parameters for all survivors ----
-    ab = model.alpha(mstate, M, r1, c1, r2, c2)
-    can1 = model.col_nz[c1]
-    can2 = model.col_nz[c2]
+    oh_up = oh.onehot(jnp.concatenate([r1, r2]), NR)
+    ohc_up = oh.onehot(jnp.concatenate([c1, c2]), K)
+    addr = AddrBatch(r1=r1, c1=c1, r2=r2, c2=c2, oh_up=oh_up, ohc_up=ohc_up)
+    ab = model.alpha(mstate, M, addr)
+    can_up = jnp.sum(ohc_up * model.col_nz[None, :], axis=-1) > 0.5
+    can1 = can_up[:B]
+    can2 = can_up[B:]
     log_u = gaps_rng.log_uniform(u_acc)
     # conditioning guard: a Gibbs draw whose s_mu is below the model's
     # fp32 noise floor is sampled from rounding garbage — treat it like
@@ -253,32 +294,39 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     d2 = jnp.where(ex_acc, nm2 - m2, d2)
     v2 = move_acc | ex_acc
 
-    up_r = jnp.concatenate([r1, r2])
-    up_c = jnp.concatenate([c1, c2])
-    up_d = jnp.concatenate([d1, d2])
     up_v = jnp.concatenate([v1, v2])
-    old = M[up_r, up_c]
+    up_d = jnp.concatenate([d1, d2])
+    old = jnp.sum(oh.matmul(oh_up, M) * ohc_up, axis=-1)
     actual = jnp.where(up_v, jnp.maximum(old + up_d, 0.0) - old, 0.0)
-    up_r_safe = jnp.where(up_v, up_r, NR)
-    M = M.at[up_r_safe, up_c].add(actual, mode="drop")
-    mstate = model.apply(mstate, up_r_safe, up_c, actual)
+    oh_up_v = oh_up * up_v[:, None].astype(jnp.float32)
+    M = M + oh.matmul(oh_up_v.T, ohc_up * actual[:, None])
+    upd = ApplyBatch(rows=jnp.concatenate([r1, r2]),
+                     cols=jnp.concatenate([c1, c2]),
+                     deltas=actual, oh_rows=oh_up_v, ohc=ohc_up)
+    mstate = model.apply(mstate, upd)
 
-    # ---- apply atom changes ----
+    # ---- apply atom changes (single fused table write; slots of valid
+    # lanes are disjoint by conflict resolution + start-of-sweep free
+    # ranks, so the one-hot sums are exact) ----
     write_a1 = death_kill | death_rebirth | move_acc | ex_acc
-    a1_idx = jnp.where(write_a1, a1, C)
     mass_v1 = jnp.where(death_kill, 0.0,
                         jnp.where(death_rebirth, rebirth,
                                   jnp.where(ex_acc, nm1, m1)))
     elem_v1 = jnp.where(death_kill, -1, jnp.where(move_acc, elem2, elem1))
-    mass_arr = atoms.mass.at[a1_idx].set(mass_v1, mode="drop")
-    elem_arr = atoms.elem.at[a1_idx].set(elem_v1, mode="drop")
-    a2_idx = jnp.where(ex_acc, a2, C)
-    mass_arr = mass_arr.at[a2_idx].set(nm2, mode="drop")
 
-    birth_rank = jnp.cumsum(birth_acc.astype(jnp.int32))
-    b_idx = jnp.where(birth_acc, free_rank_to_slot(cum, birth_rank - 1), C)
-    mass_arr = mass_arr.at[b_idx].set(b_mass, mode="drop")
-    elem_arr = elem_arr.at[b_idx].set(e_birth, mode="drop")
+    birth_rank = oh.lane_cumsum(birth_acc.astype(jnp.float32))
+    bref = oh.free_rank_to_slot(
+        li, jnp.maximum(birth_rank.astype(jnp.int32) - 1, 0))
+
+    ref_w = oh.concat_refs(ref1, ref2, bref)
+    zeros_b = jnp.zeros((B,), jnp.bool_)
+    valid_mass = jnp.concatenate([write_a1, ex_acc, birth_acc])
+    vals_mass = jnp.concatenate([mass_v1, nm2, b_mass])
+    mass_arr = oh.table_set_f32(atoms.mass, ref_w, valid_mass, vals_mass)
+    valid_elem = jnp.concatenate([write_a1, zeros_b, birth_acc])
+    vals_elem = jnp.concatenate([elem_v1, jnp.zeros((B,), jnp.int32),
+                                 e_birth])
+    elem_arr = oh.table_set_i32(atoms.elem, ref_w, valid_elem, vals_elem)
 
     n_new = (n + jnp.sum(birth_acc.astype(jnp.int32))
              - jnp.sum(death_kill.astype(jnp.int32)))
