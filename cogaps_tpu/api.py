@@ -203,6 +203,13 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
         mcs = mean_chi_sq(amean, pmean, D, S)
 
     total_updates = int(stats.upd_hi) * (1 << 30) + int(stats.upd_lo)
+    # sampler observability (SURVEY §5): proposal/acceptance counts by
+    # type and survivors-per-sweep — the averageQueueLength analog
+    # (reference: src/Cogaps.cpp:177-180)
+    prop = np.asarray(stats.prop_counts, np.int64)
+    acc = np.asarray(stats.acc_counts, np.int64)
+    sw = np.asarray(stats.sweep_counts, np.int64)
+    types = ("birth", "death", "move", "exchange")
     n_hist = stats.chisq_hist.shape[0]
     diagnostics = {
         "chisqHistory": np.asarray(stats.chisq_hist),
@@ -221,6 +228,16 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
             stats.snap_a[stats.snap_a.shape[0] // 2:]),
         "samplingSnapshotsP": np.asarray(
             stats.snap_p[stats.snap_p.shape[0] // 2:]),
+        "proposalCounts": {
+            m: dict(zip(types, prop[i].tolist()))
+            for i, m in enumerate(("A", "P"))},
+        "acceptanceRates": {
+            m: dict(zip(types,
+                        (acc[i] / np.maximum(prop[i], 1)).round(4).tolist()))
+            for i, m in enumerate(("A", "P"))},
+        "sweepCounts": {"A": int(sw[0]), "P": int(sw[1])},
+        "averageQueueLengthA": float(prop[0].sum() / max(int(sw[0]), 1)),
+        "averageQueueLengthP": float(prop[1].sum() / max(int(sw[1]), 1)),
     }
     if params.take_pump_samples:
         diagnostics["pumpMatrix"] = (

@@ -45,6 +45,14 @@ from .params import EngineConfig
 EQUILIBRATION = 0
 SAMPLING = 1
 
+
+def _resolve_use_pallas(cfg: EngineConfig) -> bool:
+    """Auto: the fused Pallas sweep kernel on TPU-class backends, the
+    XLA sweep elsewhere (the kernel's differential oracle)."""
+    if cfg.use_pallas is not None:
+        return bool(cfg.use_pallas)
+    return jax.default_backend() not in ("cpu",)
+
 _LO_BITS = 30
 _LO_MASK = (1 << _LO_BITS) - 1
 
@@ -76,7 +84,6 @@ class ChainState:
     atoms_p: AtomTable
     M_a: jnp.ndarray  # (nGenes, k)
     M_p: jnp.ndarray  # (nSamples, k)
-    R: jnp.ndarray  # (nGenes, nSamples) residual*invS2, A-layout
 
 
 @struct.dataclass
@@ -95,6 +102,13 @@ class RunStats:
     snap_p: jnp.ndarray
     upd_lo: jnp.ndarray  # () int32 — totalUpdates, base-2^30 split
     upd_hi: jnp.ndarray  # () int32
+    # sampler observability (SURVEY §5; the averageQueueLength analog,
+    # reference: src/GapsRunner.cpp:473-476): proposals processed and
+    # accepted by type [birth, death, move, exchange] per sampler, plus
+    # total sweep (conflict-free batch) counts
+    prop_counts: jnp.ndarray  # (2, 4) int32 — [A, P] x type
+    acc_counts: jnp.ndarray  # (2, 4) int32
+    sweep_counts: jnp.ndarray  # (2,) int32
 
 
 # ----------------------------------------------------------------------
@@ -132,59 +146,73 @@ def run_iteration(cfg: EngineConfig, consts_a: SamplerConsts,
     n_p = gaps_rng.poisson(
         kpp, jnp.maximum(state.atoms_p.n, 10).astype(jnp.float32))
 
-    R = state.R
-    if cfg.rebuild_interval > 0:
-        R = jax.lax.cond(
-            it % cfg.rebuild_interval == 0,
-            lambda: dense.rebuild_cache(data.D, data.invS2,
-                                        state.M_a, state.M_p).R,
-            lambda: R)
-
     atoms_a, M_a = state.atoms_a, state.M_a
     atoms_p, M_p = state.atoms_p, state.M_p
     done_a = jnp.zeros((), jnp.int32)
     done_p = jnp.zeros((), jnp.int32)
+    obs_a = obs_p = None
+
+    # Y caches are rebuilt exactly at each sampler's update-call start
+    # (the analog of sync + extraInitialization, GapsRunner.cpp:202-222);
+    # the full residual is never carried across iterations.
+    use_pallas = _resolve_use_pallas(cfg)
+
+    def run_upd(k, atoms, M, cache, n_upd, consts, mparams, D, invS2,
+                other):
+        if use_pallas and consts.axis_name is None:
+            from .ops.pallas_sweep import run_updates_pallas_full
+            ck = consts._replace(
+                batch=min(consts.batch, cfg.pallas_max_batch))
+            phase_t = dense.make_phase(invS2, other)
+            return run_updates_pallas_full(
+                k, atoms, M, cache, temp, n_upd, ck, mparams,
+                phase=phase_t, invS2=invS2, other_M=other,
+                s_max=cfg.s_max,
+                interpret=jax.default_backend() == "cpu")
+        phase_t = dense.make_phase(invS2, other,
+                                   axis_name=consts.axis_name)
+        model = dense.make_model(phase_t, invS2,
+                                 axis_name=consts.axis_name)
+        return run_updates(k, atoms, M, cache, temp, n_upd, consts,
+                           mparams, model=model)
 
     if fixed != "A":
-        phase_a = dense.make_phase(data.invS2, M_p,
-                                   axis_name=consts_a.axis_name)
-        model_a = dense.make_model(phase_a, data.invS2,
-                                   axis_name=consts_a.axis_name)
-        atoms_a, M_a, cache_a, done_a, _ = run_updates(
-            kua, atoms_a, M_a, dense.DenseCache(R), temp, n_a,
-            consts_a, data.mass_a, model=model_a)
-        R = cache_a.R
+        cache_a = dense.rebuild_cache(data.D, data.invS2, M_a, M_p,
+                                      axis_name=consts_a.axis_name)
+        atoms_a, M_a, cache_a, done_a, ns_a, cnt_a = run_upd(
+            kua, atoms_a, M_a, cache_a, n_a, consts_a, data.mass_a,
+            data.D, data.invS2, M_p)
+        obs_a = (ns_a, cnt_a)
     if fixed != "P":
-        phase_p = dense.make_phase(data.invS2_t, M_a,
-                                   axis_name=consts_p.axis_name)
-        model_p = dense.make_model(phase_p, data.invS2_t,
-                                   axis_name=consts_p.axis_name)
-        atoms_p, M_p, cache_p, done_p, _ = run_updates(
-            kup, atoms_p, M_p, dense.DenseCache(R.T), temp, n_p,
-            consts_p, data.mass_p, model=model_p)
-        R = cache_p.R.T
+        cache_p = dense.rebuild_cache(data.D_t, data.invS2_t, M_p, M_a,
+                                      axis_name=consts_p.axis_name)
+        atoms_p, M_p, cache_p, done_p, ns_p, cnt_p = run_upd(
+            kup, atoms_p, M_p, cache_p, n_p, consts_p, data.mass_p,
+            data.D_t, data.invS2_t, M_a)
+        obs_p = (ns_p, cnt_p)
 
     state = ChainState(atoms_a=atoms_a, atoms_p=atoms_p,
-                       M_a=M_a, M_p=M_p, R=R)
+                       M_a=M_a, M_p=M_p)
 
     def chisq_fn():
-        return dense.chisq(dense.DenseCache(R), data.invS2)
+        return dense.chisq_from_state(data.D, data.invS2, M_a, M_p)
 
     stats = accumulate_stats(cfg, hist, phase, it, M_a, M_p,
                              state.atoms_a.n, state.atoms_p.n,
                              done_a, done_p, stats, chisq_fn, n_genes,
-                             axis_name)
+                             axis_name, obs_a=obs_a, obs_p=obs_p)
     return state, stats
 
 
 def accumulate_stats(cfg: EngineConfig, hist: HistConfig, phase: int, it,
                      M_a, M_p, n_atoms_a, n_atoms_p, done_a, done_p,
                      stats: RunStats, chisq_fn, n_genes: int,
-                     axis_name=None) -> RunStats:
+                     axis_name=None, obs_a=None, obs_p=None) -> RunStats:
     """Post-sweep bookkeeping shared by the dense and sparse engines:
     totalUpdates counter, posterior statistics with max-normalization
-    (GapsStatistics.h:130-185), snapshots (GapsRunner.cpp:316-322), and
-    chi^2/atom-count histories (GapsRunner.cpp:160-199)."""
+    (GapsStatistics.h:130-185), snapshots (GapsRunner.cpp:316-322),
+    chi^2/atom-count histories (GapsRunner.cpp:160-199), and the
+    per-sampler proposal/acceptance observability counters."""
     fixed = cfg.which_matrix_fixed
 
     # totalUpdates accumulation (GapsRunner.cpp:297), 2^30-split counter
@@ -195,6 +223,19 @@ def accumulate_stats(cfg: EngineConfig, hist: HistConfig, phase: int, it,
     lo = stats.upd_lo + inc
     stats = stats.replace(upd_lo=lo & _LO_MASK,
                           upd_hi=stats.upd_hi + (lo >> _LO_BITS))
+
+    # sampler observability counters (SURVEY §5)
+    for row, obs in ((0, obs_a), (1, obs_p)):
+        if obs is None:
+            continue
+        ns, cnt = obs
+        prop, acc = cnt.processed, cnt.accepted
+        if axis_name is not None and row == 0:
+            ns, prop, acc = jax.lax.psum((ns, prop, acc), axis_name)
+        stats = stats.replace(
+            prop_counts=stats.prop_counts.at[row].add(prop),
+            acc_counts=stats.acc_counts.at[row].add(acc),
+            sweep_counts=stats.sweep_counts.at[row].add(ns))
 
     # posterior statistics in the sampling phase
     # (GapsRunner.cpp:299-315, GapsStatistics.h:130-185)
@@ -298,11 +339,10 @@ def init_chain_state(cfg: EngineConfig, data: DeviceData,
         M_a = jnp.asarray(fixed_patterns, jnp.float32)
     elif cfg.which_matrix_fixed == "P":
         M_p = jnp.asarray(fixed_patterns, jnp.float32)
-    R = dense.rebuild_cache(data.D, data.invS2, M_a, M_p).R
     return ChainState(
         atoms_a=init_atoms(cfg.capacity_a),
         atoms_p=init_atoms(cfg.capacity_p),
-        M_a=M_a, M_p=M_p, R=R)
+        M_a=M_a, M_p=M_p)
 
 
 def init_run_stats(cfg: EngineConfig, n_genes: int, n_samples: int,
@@ -321,7 +361,10 @@ def init_run_stats(cfg: EngineConfig, n_genes: int, n_samples: int,
         atom_hist_p=jnp.zeros((hist.n_hist,), jnp.int32),
         snap_a=jnp.zeros((n_snap, n_genes, k), jnp.float32),
         snap_p=jnp.zeros((n_snap, n_samples, k), jnp.float32),
-        upd_lo=zi, upd_hi=zi)
+        upd_lo=zi, upd_hi=zi,
+        prop_counts=jnp.zeros((2, 4), jnp.int32),
+        acc_counts=jnp.zeros((2, 4), jnp.int32),
+        sweep_counts=jnp.zeros((2,), jnp.int32))
 
 
 def derive_hist(cfg: EngineConfig) -> HistConfig:
@@ -432,4 +475,5 @@ class GapsEngine:
         return state, stats
 
     def chisq(self, state: ChainState) -> float:
-        return float(dense.chisq(dense.DenseCache(state.R), self.invS2))
+        return float(dense.chisq_from_state(self.data.D, self.invS2,
+                                            state.M_a, state.M_p))

@@ -2,29 +2,44 @@
 
 Capability parity with the reference's DenseNormalModel
 (reference: src/gibbs_sampler/DenseNormalModel.{h,cpp}), re-derived for
-batched evaluation instead of per-proposal SIMD loops:
+batched evaluation instead of per-proposal SIMD loops.
 
 The reference computes, per proposal at factor element (r, c), over the
 full data row (DenseNormalModel.cpp:162-183):
 
-    s    = sum_i other[i,c]^2            / S[r,i]^2
+    s    = sum_i other[i,c]^2             / S[r,i]^2
     s_mu = sum_i other[i,c]*(D - AP)[r,i] / S[r,i]^2
 
-TPU re-derivation (SURVEY.md §7.3):
-  * `other` is frozen for the duration of a sampler's update phase
-    (samplers alternate, reference: GapsRunner.cpp:202-222), so ALL s
-    values are one MXU matmul per phase:  SQ = invS2 @ (other * other),
-    and per-proposal s is a scalar gather SQ[r, c].
-  * s_mu is a row-dot of the maintained residual R = (D - AP) * invS2
-    against other[:, c] — a batched (B, m) gather + VPU reduction.
-  * rank-1 AP updates (DenseNormalModel.cpp:243-258) become masked
-    scatter-adds of per-proposal row contributions into R.
-  * alphaParametersWithChange(r, c, ch) (cpp:217-240) reduces to the
-    identity s_mu' = s_mu - ch * s — no extra reduction needed.
-  * the two-element alphaParameters (cpp:186-214) satisfies
-    s_mu(pair) = s_mu1 - s_mu2 (the sign flip is AlphaParameters::operator+,
-    AlphaParameters.cpp:11-14); s(pair) = s1 + s2 for distinct rows, and
-    s1 + s2 - 2*X for a shared row, where X = sum_i o1*o2*invS2[r,i].
+TPU re-derivation: within one batched sweep every proposal is evaluated
+at the batch-start state (row-disjoint proposals commute — see
+ops/sweep.py), and the partner factor is frozen for a whole update phase
+(samplers alternate, reference: GapsRunner.cpp:202-222). All reductions
+over the data dimension therefore collapse into small precomputed
+tables, gathered per proposal:
+
+  * s      = SQ[r, c]          SQ = invS2 @ other^2        (per phase)
+  * s_mu   = Y[r, c]           Y  = R @ other              (per sweep*)
+  * pair x = Z[r, c1, c2]      Z[r,c,c'] = sum_i o_ic o_ic' invS2[r,i]
+                                                           (per phase)
+  * alphaParametersWithChange(r,c,ch): s_mu' = s_mu - ch*s (identity)
+  * two-element alphaParameters (cpp:186-214): s_mu(pair) = smu1 - smu2
+    (the sign flip is AlphaParameters::operator+, AlphaParameters.cpp:
+    11-14); s(pair) = s1 + s2 for distinct rows, s1 + s2 - 2*Z[r,c1,c2]
+    for a shared row.
+
+(*) Y is maintained *incrementally* across sweeps: an accepted matrix
+change (r, c, delta) shifts the residual row r, so
+Y[r, c'] -= delta * Z[r, c, c'] for all c' — a (k,)-wide row update that
+replaces the reference's updateAPMatrix rank-1 row update over the full
+data row (DenseNormalModel.cpp:243-258). The residual R itself is only
+materialized between update phases (engine.py rebuilds it from
+D - A P^T, the analog of extraInitialization, cpp:38-54).
+
+This reformulation makes every per-proposal quantity a flat (B,) gather
+from a table of size n_bins (SQ, Y) or n_bins*k (Z) — there are no
+O(batch x data_dim) operations anywhere in the sweep. Round-3 profiling
+motivated it: per-proposal row gathers of the (n_rows, m) residual
+dominated the sweep on the v5e.
 
 The uncertainty default is S = max(0.1*D, 0.1)
 (reference: DenseNormalModel.h:73, MatrixMath.cpp:74-82); we precompute
@@ -44,20 +59,20 @@ from flax import struct
 
 @struct.dataclass
 class DenseCache:
-    """Mutable per-sampler model state (beyond the factor matrix itself):
-    the residual R = (D - M @ other^T) * invS2, maintained incrementally
-    exactly like the reference's AP cache (DenseNormalModel.h:60)."""
+    """Mutable model state during one sampler's update call: the
+    conditional-mean table Y = R @ other, maintained incrementally (the
+    analog of the reference's AP cache, DenseNormalModel.h:60)."""
 
-    R: jnp.ndarray  # (n_rows, m) float32
+    Y: jnp.ndarray  # (n_rows, k) float32
 
 
 class DensePhase(NamedTuple):
-    """Per-update-phase constants: everything derived from the *frozen*
-    partner factor (recomputed after each sync, reference:
+    """Per-update-phase constants derived from the *frozen* partner
+    factor (recomputed after each sync, reference:
     DenseNormalModel.cpp:20-36)."""
 
-    SQ: jnp.ndarray  # (n_rows, k) = invS2 @ other^2  — all s values
-    otherT: jnp.ndarray  # (k, m) transpose of partner factor
+    SQ: jnp.ndarray  # (n_rows, k) = invS2 @ other^2 — all s values
+    Z: jnp.ndarray  # (n_rows * k, k): Z[r*k+c, c'] = sum_i o_ic o_ic' invS2[r,i]
     col_nz: jnp.ndarray  # (k,) bool — canUseGibbs per column (cpp:100-103)
 
 
@@ -66,9 +81,9 @@ class AlphaBatch(NamedTuple):
     estimates for smu1/smu_pair: when |smu| falls below its floor the
     value is rounding noise and Gibbs draws must fail (the conditioning
     analog of the reference's far-tail OptionalFloat failure). The dense
-    model stores its residual post-cancellation so its floor is ~0; the
-    sparse closed form reconstructs large cancelling sums per proposal
-    and supplies real floors (models/sparse.py)."""
+    model's Y table is maintained post-cancellation so its floor is ~0;
+    the sparse closed form reconstructs large cancelling sums per
+    proposal and supplies real floors (models/sparse.py)."""
 
     s1: jnp.ndarray
     smu1: jnp.ndarray
@@ -93,50 +108,68 @@ def compute_lambda(D: np.ndarray, alpha: float, n_patterns: int) -> float:
 def make_phase(invS2: jnp.ndarray, other_M: jnp.ndarray,
                axis_name=None) -> DensePhase:
     """`axis_name` handles gene-sharded runs (parallel/sharded.py): the
-    partner factor's rows live across devices, so the per-phase reductions
-    (SQ, canUseGibbs) are psum/pmax collectives over the mesh axis."""
-    sq = jnp.dot(invS2, other_M * other_M, preferred_element_type=jnp.float32)
+    partner factor's rows live across devices, so the per-phase
+    reductions (SQ, Z, canUseGibbs) are psum/pmax collectives over the
+    mesh axis."""
+    k = other_M.shape[1]
+    sq = jnp.dot(invS2, other_M * other_M,
+                 preferred_element_type=jnp.float32)
+    # outer products o_c * o_c' as an (m, k*k) matrix -> Z (n_rows, k, k)
+    oo = (other_M[:, :, None] * other_M[:, None, :]).reshape(
+        other_M.shape[0], k * k)
+    z = jnp.dot(invS2, oo, preferred_element_type=jnp.float32)
     col_max = jnp.max(other_M, axis=0)
     if axis_name is not None:
         sq = jax.lax.psum(sq, axis_name)
+        z = jax.lax.psum(z, axis_name)
         col_max = jax.lax.pmax(col_max, axis_name)
     return DensePhase(
         SQ=sq,
-        otherT=other_M.T,
+        Z=z.reshape(invS2.shape[0] * k, k),
         col_nz=col_max > 0.0,
     )
 
 
-def rebuild_cache(D: jnp.ndarray, invS2: jnp.ndarray, M: jnp.ndarray,
-                  other_M: jnp.ndarray) -> DenseCache:
-    """Exact residual rebuild — the analog of extraInitialization's full
-    AP = M @ other^T recompute (reference: DenseNormalModel.cpp:38-54)."""
+def residual(D: jnp.ndarray, invS2: jnp.ndarray, M: jnp.ndarray,
+             other_M: jnp.ndarray) -> jnp.ndarray:
+    """Exact weighted residual R = (D - M other^T) * invS2 — the analog
+    of extraInitialization's full AP rebuild (DenseNormalModel.cpp:38-54).
+    Only materialized between update phases."""
     ap = jnp.dot(M, other_M.T, preferred_element_type=jnp.float32)
-    return DenseCache(R=(D - ap) * invS2)
+    return (D - ap) * invS2
+
+
+def rebuild_cache(D: jnp.ndarray, invS2: jnp.ndarray, M: jnp.ndarray,
+                  other_M: jnp.ndarray, axis_name=None) -> DenseCache:
+    """Y = R @ other at the current state (start of an update call).
+    With `axis_name`, the reduction dimension (the partner rows) is
+    device-sharded and the partial Y tables are psum'd."""
+    R = residual(D, invS2, M, other_M)
+    Y = jnp.dot(R, other_M, preferred_element_type=jnp.float32)
+    if axis_name is not None:
+        Y = jax.lax.psum(Y, axis_name)
+    return DenseCache(Y=Y)
 
 
 def alpha_batch(cache: DenseCache, phase: DensePhase, invS2: jnp.ndarray,
                 addr, axis_name=None) -> AlphaBatch:
-    """Batched alphaParameters for B proposals (single + pair forms),
-    fully gather-free: all row access is one-hot matmul through
-    addr.oh_up / addr.ohc_up (ops/sweep.py AddrBatch).
-    With `axis_name`, the row-reductions run over a device-sharded
-    reduction axis and are psum'd (gene-sharded P sampler)."""
-    B = addr.r1.shape[0]
-    from ..ops import onehot as oh
-    s_up = oh.select_cols(oh.gather_rows(phase.SQ, addr.oh_up), addr.ohc_up)
-    R_up = oh.gather_rows(cache.R, addr.oh_up)  # (2B, m)
-    o_up = oh.matmul(addr.ohc_up, phase.otherT)  # (2B, m)
-    smu_up = jnp.sum(R_up * o_up, axis=-1)
+    """Batched alphaParameters for B proposals (single + pair forms):
+    three flat (B,) gathers from the SQ/Y/Z tables. `invS2` is unused
+    (kept for signature compatibility with differential tests). With
+    `axis_name`, the tables were already psum'd at phase build, so no
+    per-proposal collective is needed."""
+    del invS2, axis_name
+    k = phase.SQ.shape[1]
+    SQ_flat = phase.SQ.reshape(-1)
+    Y_flat = cache.Y.reshape(-1)
+    e1 = addr.r1 * k + addr.c1
+    e2 = addr.r2 * k + addr.c2
+    s1 = SQ_flat[e1]
+    s2 = SQ_flat[e2]
+    smu1 = Y_flat[e1]
+    smu2 = Y_flat[e2]
     same_row = (addr.r1 == addr.r2).astype(jnp.float32)
-    invS2r1 = oh.gather_rows(invS2, addr.oh_up[:B])
-    x = jnp.sum(o_up[:B] * o_up[B:] * invS2r1, axis=-1)
-    smu1 = smu_up[:B]
-    smu2 = smu_up[B:]
-    if axis_name is not None:
-        smu1, smu2, x = jax.lax.psum((smu1, smu2, x), axis_name)
-    s1 = s_up[:B]
-    s2 = s_up[B:]
+    x = phase.Z.reshape(-1)[e1 * k + addr.c2]
     return AlphaBatch(
         s1=s1,
         smu1=smu1,
@@ -147,32 +180,33 @@ def alpha_batch(cache: DenseCache, phase: DensePhase, invS2: jnp.ndarray,
 
 def apply_updates(cache: DenseCache, phase: DensePhase, invS2: jnp.ndarray,
                   upd) -> DenseCache:
-    """R[r, :] -= delta * other[:, c] * invS2[r, :] for each applied matrix
-    change — the one-hot matmul form of updateAPMatrix (reference:
+    """Y[r, :] -= delta * Z[r, c, :] for each applied matrix change —
+    the conditional-mean form of updateAPMatrix (reference:
     DenseNormalModel.cpp:243-258). `upd.deltas` are the *actual*
     (clamp-adjusted) deltas, matching safelyChangeMatrix (cpp:117-123);
-    masked lanes carry zero one-hot rows and zero deltas."""
-    from ..ops import onehot as oh
-    o = oh.matmul(upd.ohc, phase.otherT)  # (2B, m)
-    invS2r = oh.gather_rows(invS2, upd.oh_rows)
-    contrib = upd.deltas[:, None] * o * invS2r
-    return DenseCache(R=cache.R - oh.matmul(upd.oh_rows.T, contrib))
+    non-applied lanes carry delta exactly 0, so their scatter-adds are
+    no-ops."""
+    del invS2
+    k = phase.SQ.shape[1]
+    zrows = phase.Z[upd.rows * k + upd.cols]  # (2B, k)
+    return DenseCache(
+        Y=cache.Y.at[upd.rows].add(-upd.deltas[:, None] * zrows))
 
 
 class DenseModel(NamedTuple):
     """Trace-time adapter handed to the generic sweep (ops/sweep.py):
     closes over the per-update-phase constants (frozen partner factor
-    tables + uncertainty); the mutable mstate is the DenseCache residual."""
+    tables); the mutable mstate is the DenseCache Y table."""
 
     col_nz: jnp.ndarray  # (k,) float32 in {0, 1}
     alpha: object  # fn(mstate, M, addr: AddrBatch) -> AlphaBatch
-    apply: object  # fn(mstate, upd: ApplyBatch) -> mstate
+    apply: object  # fn(mstate, upd: ApplyBatch) -> mstate  (cache update)
 
 
 def make_model(phase: DensePhase, invS2: jnp.ndarray,
                axis_name=None) -> DenseModel:
     def alpha(mstate: DenseCache, M, addr):
-        del M  # the dense model reads the residual cache, not M
+        del M  # the dense model reads the Y table, not M
         return alpha_batch(mstate, phase, invS2, addr, axis_name=axis_name)
 
     def apply(mstate: DenseCache, upd):
@@ -182,7 +216,9 @@ def make_model(phase: DensePhase, invS2: jnp.ndarray,
                       alpha=alpha, apply=apply)
 
 
-def chisq(cache: DenseCache, invS2: jnp.ndarray) -> jnp.ndarray:
+def chisq_from_state(D: jnp.ndarray, invS2: jnp.ndarray, M_a: jnp.ndarray,
+                     M_p: jnp.ndarray) -> jnp.ndarray:
     """chi^2 = sum ((D-AP)/S)^2 = sum R^2 / invS2 (reference:
-    DenseNormalModel.cpp:56-68)."""
-    return jnp.sum(jnp.where(invS2 > 0, cache.R * cache.R / invS2, 0.0))
+    DenseNormalModel.cpp:56-68), computed from the factor matrices."""
+    R = residual(D, invS2, M_a, M_p)
+    return jnp.sum(jnp.where(invS2 > 0, R * R / invS2, 0.0))

@@ -3,7 +3,8 @@
 On this TPU target every dynamic gather, scatter, or searchsorted HLO
 costs ~85us of serialized time regardless of operand size, while
 elementwise ops and MXU matmuls of the same data sizes run in ~1us
-(measured in-loop, round 3 profiling). The reference's hot loop is
+(measured in-loop on the v5e chip; see tools/perf_sweep.py for the
+harness). The reference's hot loop is
 pointer-chasing (per-proposal row reductions + map lookups, reference:
 src/gibbs_sampler/DenseNormalModel.cpp:162-258, src/atomic/AtomicDomain.cpp)
 so a literal translation would inherit those serialized ops; instead every

@@ -21,11 +21,29 @@ queue — which admits whole batches under a single atom-count window
 (ProposalQueue.cpp:135-158) — all proposals within a batch use the
 batch-start atom count for the birth/death decision.
 
-Execution strategy (see ops/onehot.py): every indexed access is a one-hot
-matmul and every prefix count a triangular matmul, because on this TPU a
-dynamic gather/scatter/searchsorted HLO costs ~85us serialized while the
-equivalent MXU matmul costs ~1us. The sweep contains NO gather, scatter,
-sort, or searchsorted ops.
+Execution strategy: every indexed access is a native XLA gather/scatter.
+(Round 2 reformulated all indexing as one-hot matmuls on the assumption
+that dynamic gathers serialize at ~85us on this backend; round-3 in-loop
+measurement — tools/perf_primitives.py — shows (B,) gathers from a 64k
+table at ~1.5us, scatter-set/add at ~0.5-9us, and the one-hot path's
+(B, capacity)-sized intermediates costing ~100x that in HBM traffic. The
+one-hot primitives remain in ops/onehot.py, validated by
+tests/test_sweep_equivalence.py, for small fixed-shape bookkeeping.)
+
+Conflict resolution is sized to the sampler (see _keep_*): measured on
+the v5e, int32 scatter-min/sort/top_k hang the Mosaic compiler, f32
+scatter-min serializes (~830us at B=2048 x 16 chains), and the pairwise
+(B, B) mask costs ~336us at B=2048 — so exact first-wins pairwise is
+used only for small batches (the tiny P sampler), while wide batches
+(the A sampler) keep exactly the *uncontested* candidates: a lane
+survives iff NO other lane touches any of its rows/atoms, computed with
+two f32 scatter-add count tables (~5us). Both rules are deterministic,
+keep only mutually non-conflicting proposals, and thin contested rows
+the same way the first-wins rule does (a contested row processes at most
+one proposal per sweep; uncontested-only processes zero, and the next
+sweep redraws) — the expected survivor count at B ~ n_rows differs by
+<2x and the equilibrium behavior is validated against the reference's
+shipped golden results (tests/test_golden.py).
 
 Proposal kernels replicate SingleThreadedGibbsSampler.h exactly at the
 element level:
@@ -56,9 +74,13 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import onehot as oh
 from ..ops import rng as gaps_rng
 from ..ops.atoms import AtomTable
+
+# proposal-type indices for the diagnostics counters
+# (the averageQueueLength / acceptance-rate analog,
+#  reference: src/GapsRunner.cpp:473-476)
+T_BIRTH, T_DEATH, T_MOVE, T_EXCHANGE = 0, 1, 2, 3
 
 
 class SamplerConsts(NamedTuple):
@@ -87,27 +109,40 @@ class MassParams(NamedTuple):
 
 
 class AddrBatch(NamedTuple):
-    """Proposal addresses with their one-hot row/column selectors.
-    oh_up stacks [r1 | r2] one-hots ((2B, n_rows)); ohc_up stacks
-    [c1 | c2] ((2B, k)). Models do all row access through these."""
+    """Proposal addresses: lanes [0,B) are the primary element (r1, c1),
+    the second element (r2, c2) rides with move/exchange lanes. Models
+    access rows/columns by plain integer indexing."""
 
     r1: jnp.ndarray
     c1: jnp.ndarray
     r2: jnp.ndarray
     c2: jnp.ndarray
-    oh_up: jnp.ndarray
-    ohc_up: jnp.ndarray
 
 
 class ApplyBatch(NamedTuple):
-    """Accepted matrix deltas: element (rows, cols) changes by deltas,
-    with invalid lanes already zeroed in `oh_rows` AND `deltas`."""
+    """Accepted matrix deltas: element (rows, cols) changes by deltas;
+    lanes that were not applied carry delta exactly 0 (rows/cols are
+    still in-range, so unmasked scatter-adds of zero are no-ops)."""
 
     rows: jnp.ndarray  # (2B,) int32
     cols: jnp.ndarray  # (2B,) int32
     deltas: jnp.ndarray  # (2B,) float32 (0 where not applied)
-    oh_rows: jnp.ndarray  # (2B, n_rows), zero rows where not applied
-    ohc: jnp.ndarray  # (2B, k)
+
+
+class SweepCounts(NamedTuple):
+    """Per-sweep observability: proposals processed and accepted by type
+    (reference returns only averageQueueLength, src/Cogaps.cpp:177-180;
+    SURVEY §5 asks for acceptance rates by type as first-class outputs)."""
+
+    processed: jnp.ndarray  # (4,) int32, kept proposals by type
+    accepted: jnp.ndarray  # (4,) int32, accepted (state-changing) by type
+
+
+def make_addr(r1, c1, r2, c2, n_rows: int = None, k: int = None) -> AddrBatch:
+    """Build an AddrBatch from raw proposal addresses (n_rows/k accepted
+    for backward compatibility; indices are used directly now)."""
+    del n_rows, k
+    return AddrBatch(r1=r1, c1=c1, r2=r2, c2=c2)
 
 
 def make_consts(n_rows: int, m: int, k: int, capacity: int, batch: int,
@@ -129,15 +164,57 @@ def death_prob(n_f32: jnp.ndarray, consts: SamplerConsts) -> jnp.ndarray:
     return numer / denom
 
 
-def _eq(a, b):
-    return a[:, None] == b[None, :]
+def _keep(active, r1, r2, uses2, a1, uses_a1, a2, uses_a2,
+          consts: SamplerConsts) -> jnp.ndarray:
+    """Conflict resolution (replaces ProposalQueue's mUsedMatrixIndices /
+    mUsedAtoms hash sets, reference: ProposalQueue.h:58-61, cpp:175-232):
+
+    * rows — exact first-wins: lane i survives iff it is the EARLIEST
+      active lane touching each of its rows (min-lane per row);
+    * atoms — uncontested-only: lane i survives iff no OTHER lane touches
+      its atoms (per-slot occupancy counts; min-lane per slot would need
+      a scatter-min, which hangs this backend's compiler).
+
+    Both rules are deterministic and the kept set is mutually
+    conflict-free; atom contention thins slightly more than first-wins
+    would (a contested atom processes zero proposals that sweep instead
+    of one — the next sweep redraws). The Pallas sweep kernel implements
+    the identical rule so CPU and TPU paths agree."""
+    B = r1.shape[0]
+    lane = jnp.arange(B, dtype=jnp.int32)
+    NRs = consts.n_rows  # sentinel row index (dropped)
+
+    # min active lane per row, over both row streams
+    lane_f = jnp.where(active, lane, B).astype(jnp.float32)
+    rmin = jnp.full((consts.n_rows + 1,), float(B), jnp.float32)
+    rmin = rmin.at[jnp.where(active, r1, NRs)].min(lane_f, mode="drop")
+    rmin = rmin.at[jnp.where(active & uses2, r2, NRs)].min(
+        lane_f, mode="drop")
+    ok = rmin[r1] >= lane_f
+    ok &= jnp.where(uses2, rmin[r2] >= lane_f, True)
+
+    # atom occupancy counts
+    one = jnp.float32(1.0)
+    atab = jnp.zeros((consts.capacity + 1,), jnp.float32)
+    atab = atab.at[jnp.where(active & uses_a1, a1, consts.capacity)].add(
+        one, mode="drop")
+    atab = atab.at[jnp.where(active & uses_a2, a2, consts.capacity)].add(
+        one, mode="drop")
+    # a1 != a2 by construction (distinct ranks), so own contribution is 1
+    ok &= jnp.where(uses_a1, atab[jnp.minimum(a1, consts.capacity)] <= one,
+                    True)
+    ok &= jnp.where(uses_a2, atab[jnp.minimum(a2, consts.capacity)] <= one,
+                    True)
+    return active & ok
 
 
 def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
           mstate, temp: jnp.ndarray, remaining: jnp.ndarray,
           consts: SamplerConsts, mass: MassParams, *, model
-          ) -> Tuple[AtomTable, jnp.ndarray, object, jnp.ndarray]:
-    """One batched proposal sweep. Returns (atoms, M, mstate, n_processed).
+          ) -> Tuple[AtomTable, jnp.ndarray, object, jnp.ndarray,
+                     SweepCounts]:
+    """One batched proposal sweep. Returns
+    (atoms, M, mstate, n_processed, counts).
 
     `model` is a trace-time adapter built per update-phase
     (dense.make_model / sparse.make_model) exposing:
@@ -149,7 +226,6 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     no AP matrix)."""
     B = consts.batch
     C = consts.capacity
-    NR = consts.n_rows
     K = consts.k
     NB = consts.n_bins
     EPS = gaps_rng.EPSILON
@@ -174,30 +250,28 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     is_exch = active & ~small & (u1 >= 0.75)
 
     # ---- picks ----
-    # uniform *ranks* over the n live atoms, mapped to table slots through
-    # blocked prefix counts + two-level one-hot selection (atoms may occupy
-    # any slots — the table is hole-based, ops/atoms.py)
+    # the table is COMPACT (live atoms occupy slots [0, n) — ops/atoms.py),
+    # so a uniform rank over the n live atoms IS a slot index: no search
+    # structure at all (the reference keeps an unsorted vector for the
+    # same O(1) uniform pick, AtomicDomain.cpp:24-29)
     n_c = jnp.maximum(n, 1)
-    li = oh.live_index(atoms.elem)
     nf = n_c.astype(jnp.float32)
     a1r = jnp.minimum((ui[:, 0] * nf).astype(jnp.int32), n_c - 1)
     n1f = jnp.maximum(n - 1, 1).astype(jnp.float32)
     a2rr = jnp.minimum((ui[:, 1] * n1f).astype(jnp.int32),
                        jnp.maximum(n - 1, 1) - 1)
-    a2r_ = a2rr + (a2rr >= a1r).astype(jnp.int32)  # uniform over ranks != a1r
-    ref1 = oh.rank_to_slot(li, a1r)
-    ref2 = oh.rank_to_slot(li, jnp.minimum(a2r_, n_c - 1))
-    a1 = ref1.slot
-    a2 = ref2.slot
+    a2r_ = a2rr + (a2rr >= a1r).astype(jnp.int32)  # uniform over ranks != a1
+    a1c = a1r & (C - 1)  # in-bounds by construction (masked for the compiler)
+    a2c = jnp.minimum(a2r_, n_c - 1) & (C - 1)
     e_birth = jnp.minimum((ui[:, 2] * NB).astype(jnp.int32), NB - 1)
     e_move = jnp.minimum((ui[:, 3] * NB).astype(jnp.int32), NB - 1)
 
-    elem_a1 = oh.table_gather_i32(atoms.elem, ref1)
-    elem_a2 = oh.table_gather_i32(atoms.elem, ref2)
+    elem_a1 = atoms.elem[a1c]
+    elem_a2 = atoms.elem[a2c]
     elem1 = jnp.where(is_birth, e_birth, jnp.maximum(elem_a1, 0))
-    m1 = jnp.where(is_birth, 0.0, oh.table_gather_f32(atoms.mass, ref1))
+    m1 = jnp.where(is_birth, 0.0, atoms.mass[a1c])
     elem2 = jnp.where(is_move, e_move, jnp.maximum(elem_a2, 0))
-    m2 = oh.table_gather_f32(atoms.mass, ref2)
+    m2 = atoms.mass[a2c]
     r1 = elem1 // K
     c1 = elem1 - r1 * K
     r2 = elem2 // K
@@ -205,27 +279,15 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     uses2 = is_move | is_exch
     uses_a1 = is_death | is_move | is_exch
 
-    # ---- conflict resolution: first proposal per row / per atom wins ----
-    # (replaces ProposalQueue's mUsedMatrixIndices / mUsedAtoms hash sets,
-    #  reference: ProposalQueue.h:58-61, cpp:175-232) — pairwise lane
-    #  comparisons, earlier lane wins (no scatter-min)
-    conflict = (_eq(r1, r1)
-                | (uses2[None, :] & _eq(r1, r2))
-                | (uses2[:, None] & _eq(r2, r1))
-                | ((uses2[:, None] & uses2[None, :]) & _eq(r2, r2))
-                | ((uses_a1[:, None] & uses_a1[None, :]) & _eq(a1, a1))
-                | ((uses_a1[:, None] & is_exch[None, :]) & _eq(a1, a2))
-                | ((is_exch[:, None] & uses_a1[None, :]) & _eq(a2, a1))
-                | ((is_exch[:, None] & is_exch[None, :]) & _eq(a2, a2)))
-    conflict &= active[None, :]
-    keep = active & oh.first_wins(conflict)
+    # ---- conflict resolution (see _keep) ----
+    keep = _keep(active, r1, r2, uses2, a1c, uses_a1, a2c, is_exch, consts)
 
     # capacity guard (conservative pre-rank), then exact budget truncation
-    pre_birth_rank = oh.lane_cumsum((keep & is_birth).astype(jnp.float32))
+    pre_birth_rank = jnp.cumsum((keep & is_birth).astype(jnp.int32))
     keep &= jnp.where(is_birth,
-                      n.astype(jnp.float32) + pre_birth_rank - 1.0 < C, True)
-    rank = oh.lane_cumsum(keep.astype(jnp.float32))
-    keep &= rank <= remaining.astype(jnp.float32)
+                      n + pre_birth_rank - 1 < C, True)
+    rank = jnp.cumsum(keep.astype(jnp.int32))
+    keep &= rank <= remaining
 
     is_birth &= keep
     is_death &= keep
@@ -233,13 +295,10 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     is_exch &= keep
 
     # ---- evaluate alpha parameters for all survivors ----
-    oh_up = oh.onehot(jnp.concatenate([r1, r2]), NR)
-    ohc_up = oh.onehot(jnp.concatenate([c1, c2]), K)
-    addr = AddrBatch(r1=r1, c1=c1, r2=r2, c2=c2, oh_up=oh_up, ohc_up=ohc_up)
+    addr = AddrBatch(r1=r1, c1=c1, r2=r2, c2=c2)
     ab = model.alpha(mstate, M, addr)
-    can_up = jnp.sum(ohc_up * model.col_nz[None, :], axis=-1) > 0.5
-    can1 = can_up[:B]
-    can2 = can_up[B:]
+    can1 = model.col_nz[c1] > 0.5
+    can2 = model.col_nz[c2] > 0.5
     log_u = gaps_rng.log_uniform(u_acc)
     # conditioning guard: a Gibbs draw whose s_mu is below the model's
     # fp32 noise floor is sampled from rounding garbage — treat it like
@@ -289,51 +348,90 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     d1 = jnp.where(death_rebirth, rebirth - m1, d1)
     d1 = jnp.where(move_acc, -m1, d1)
     d1 = jnp.where(ex_acc, nm1 - m1, d1)
-    v1 = birth_acc | death_kill | death_rebirth | move_acc | ex_acc
     d2 = jnp.where(move_acc, m1, 0.0)
     d2 = jnp.where(ex_acc, nm2 - m2, d2)
-    v2 = move_acc | ex_acc
 
-    up_v = jnp.concatenate([v1, v2])
+    up_r = jnp.concatenate([r1, r2])
+    up_c = jnp.concatenate([c1, c2])
     up_d = jnp.concatenate([d1, d2])
-    old = jnp.sum(oh.matmul(oh_up, M) * ohc_up, axis=-1)
-    actual = jnp.where(up_v, jnp.maximum(old + up_d, 0.0) - old, 0.0)
-    oh_up_v = oh_up * up_v[:, None].astype(jnp.float32)
-    M = M + oh.matmul(oh_up_v.T, ohc_up * actual[:, None])
-    upd = ApplyBatch(rows=jnp.concatenate([r1, r2]),
-                     cols=jnp.concatenate([c1, c2]),
-                     deltas=actual, oh_rows=oh_up_v, ohc=ohc_up)
+    up_e = up_r * K + up_c  # flat element index: 1-D gathers/scatters are
+    # measurably cheaper than 2-D fancy indexing on this backend
+    M_flat = M.reshape(-1)
+    old = M_flat[up_e]
+    actual = jnp.maximum(old + up_d, 0.0) - old
+    # rows are conflict-disjoint across lanes, but a same-row move/exchange
+    # pair updates (r, c1) and (r, c2) from the same lane — scatter-add
+    # accumulates both exactly (distinct elements)
+    M = M_flat.at[up_e].add(actual).reshape(M.shape)
+    upd = ApplyBatch(rows=up_r, cols=up_c, deltas=actual)
     mstate = model.apply(mstate, upd)
 
-    # ---- apply atom changes (single fused table write; slots of valid
-    # lanes are disjoint by conflict resolution + start-of-sweep free
-    # ranks, so the one-hot sums are exact) ----
+    # ---- apply atom changes, keeping the table COMPACT ----
+    # in-place updates (move/exchange/rebirth) write their live slot;
+    # births append at slots [n, n+b); each killed slot below the new live
+    # boundary is refilled with a live atom from the tail — the vectorized
+    # analog of the reference's swap-with-back erase
+    # (reference: src/atomic/AtomicDomain.cpp:80-111)
     write_a1 = death_kill | death_rebirth | move_acc | ex_acc
     mass_v1 = jnp.where(death_kill, 0.0,
                         jnp.where(death_rebirth, rebirth,
                                   jnp.where(ex_acc, nm1, m1)))
     elem_v1 = jnp.where(death_kill, -1, jnp.where(move_acc, elem2, elem1))
 
-    birth_rank = oh.lane_cumsum(birth_acc.astype(jnp.float32))
-    bref = oh.free_rank_to_slot(
-        li, jnp.maximum(birth_rank.astype(jnp.int32) - 1, 0))
+    birth_rank = jnp.cumsum(birth_acc.astype(jnp.int32))
+    bslot = (n + birth_rank - 1) & (C - 1)  # in-bounds: capacity guard above
 
-    ref_w = oh.concat_refs(ref1, ref2, bref)
-    zeros_b = jnp.zeros((B,), jnp.bool_)
-    valid_mass = jnp.concatenate([write_a1, ex_acc, birth_acc])
-    vals_mass = jnp.concatenate([mass_v1, nm2, b_mass])
-    mass_arr = oh.table_set_f32(atoms.mass, ref_w, valid_mass, vals_mass)
-    valid_elem = jnp.concatenate([write_a1, zeros_b, birth_acc])
-    vals_elem = jnp.concatenate([elem_v1, jnp.zeros((B,), jnp.int32),
-                                 e_birth])
-    elem_arr = oh.table_set_i32(atoms.elem, ref_w, valid_elem, vals_elem)
+    sa = jnp.where(write_a1, a1c, C)  # C => dropped
+    sb = jnp.where(birth_acc, bslot, C)
+    sx = jnp.where(ex_acc, a2c, C)
+    mass_arr = atoms.mass.at[sa].set(mass_v1, mode="drop")
+    mass_arr = mass_arr.at[sx].set(nm2, mode="drop")
+    mass_arr = mass_arr.at[sb].set(b_mass, mode="drop")
+    elem_arr = atoms.elem.at[sa].set(elem_v1, mode="drop")
+    elem_arr = elem_arr.at[sb].set(e_birth, mode="drop")
 
-    n_new = (n + jnp.sum(birth_acc.astype(jnp.int32))
-             - jnp.sum(death_kill.astype(jnp.int32)))
+    n_b = jnp.sum(birth_acc.astype(jnp.int32))
+    n_d = jnp.sum(death_kill.astype(jnp.int32))
+    top = n + n_b  # post-birth live boundary (before hole filling)
+    n_new = top - n_d
+
+    # holes below n_new must be refilled from live slots in [n_new, top);
+    # the tail region has exactly n_d slots, of which the in-tail holes
+    # are discarded along with it, so #fillers == #holes-below-boundary
+    hole_mask_tail = jnp.zeros((C + 1,), jnp.bool_).at[
+        jnp.where(death_kill, a1c, C)].set(True, mode="drop")
+    lane_b = jnp.arange(B, dtype=jnp.int32)
+    t_slot = (n_new + lane_b) & (C - 1)
+    t_valid = lane_b < n_d
+    t_filler = t_valid & ~hole_mask_tail[t_slot]
+    f_rank = jnp.cumsum(t_filler.astype(jnp.int32))  # inclusive
+    hole = death_kill & (a1c < n_new)
+    h_rank = jnp.cumsum(hole.astype(jnp.int32))
+    # pair k-th hole with k-th filler through a rank-indexed slot table
+    # (ranks are 1-based inclusive cumsums; rank 0 is never queried)
+    rank_to_src = jnp.zeros((B + 1,), jnp.int32).at[
+        jnp.where(t_filler, f_rank, B + 1)].set(t_slot, mode="drop")
+    src = rank_to_src[jnp.minimum(h_rank, B)] & (C - 1)
+    fill_elem = elem_arr[src]
+    fill_mass = mass_arr[src]
+    sh = jnp.where(hole, a1c, C)
+    elem_arr = elem_arr.at[sh].set(fill_elem, mode="drop")
+    mass_arr = mass_arr.at[sh].set(fill_mass, mode="drop")
+    # clear the discarded tail [n_new, top)
+    st = jnp.where(t_valid, t_slot, C)
+    elem_arr = elem_arr.at[st].set(-1, mode="drop")
+    mass_arr = mass_arr.at[st].set(0.0, mode="drop")
+
     atoms = AtomTable(mass=mass_arr, elem=elem_arr, n=n_new)
 
     n_processed = jnp.sum(keep.astype(jnp.int32))
-    return atoms, M, mstate, n_processed
+    cnt_i32 = lambda *ms: jnp.stack([jnp.sum(m.astype(jnp.int32))
+                                     for m in ms])
+    counts = SweepCounts(
+        processed=cnt_i32(is_birth, is_death, is_move, is_exch),
+        accepted=cnt_i32(birth_acc, death_kill | death_rebirth, move_acc,
+                         ex_acc))
+    return atoms, M, mstate, n_processed, counts
 
 
 def run_updates(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
@@ -342,20 +440,27 @@ def run_updates(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     """Process `n_steps` proposals in batched sweeps — the analog of
     GibbsSampler::update(nSteps, nThreads) (reference:
     AsynchronousGibbsSampler.h:89-121). Progress is guaranteed: the first
-    active proposal of every sweep survives conflict resolution."""
+    active proposal of every sweep survives conflict resolution.
+
+    Returns (atoms, M, mstate, n_done, n_sweeps, counts)."""
 
     def cond(carry):
         return carry[0] < n_steps
 
     def body(carry):
-        done, i, atoms, M, mstate = carry
+        done, i, atoms, M, mstate, counts = carry
         k = jax.random.fold_in(key, i)
-        atoms, M, mstate, n_proc = sweep(
+        atoms, M, mstate, n_proc, c = sweep(
             k, atoms, M, mstate, temp, n_steps - done, consts, mass,
             model=model)
-        return (done + n_proc, i + 1, atoms, M, mstate)
+        counts = SweepCounts(processed=counts.processed + c.processed,
+                             accepted=counts.accepted + c.accepted)
+        return (done + n_proc, i + 1, atoms, M, mstate, counts)
 
+    zc = SweepCounts(processed=jnp.zeros((4,), jnp.int32),
+                     accepted=jnp.zeros((4,), jnp.int32))
     init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), atoms, M,
-            mstate)
-    done, n_sweeps, atoms, M, mstate = jax.lax.while_loop(cond, body, init)
-    return atoms, M, mstate, done, n_sweeps
+            mstate, zc)
+    done, n_sweeps, atoms, M, mstate, counts = jax.lax.while_loop(
+        cond, body, init)
+    return atoms, M, mstate, done, n_sweeps, counts

@@ -16,8 +16,9 @@ uncertainties) row-sharded over the mesh axis "genes":
   atom table evolve identically on all devices.
 * chi^2 / atom counts — psum'd into replicated history entries.
 
-Collectives per sweep: psum of (B,)-sized s_mu vectors and one (S, k) SQ
-table — tiny on ICI next to the O(G_local * S) local reductions.
+Collectives per update call (not per sweep): psums of the (S, k) SQ/Y and
+(S, k^2) Z conditional tables at phase build (models/dense.py) — tiny on
+ICI next to the O(G_local * S) local table builds.
 
 The atlas memory plan (SURVEY.md §7.10): A is G x k fp32 (1M x 50 = 200 MB)
 sharded with D; P (30k x 50) replicated.
@@ -126,15 +127,16 @@ class ShardedGapsEngine:
         self.state_spec = ChainState(
             atoms_a=_atom_spec(GENE_AXIS),
             atoms_p=AtomTable(mass=P(None), elem=P(None), n=P()),
-            M_a=P(GENE_AXIS, None), M_p=P(None, None),
-            R=P(GENE_AXIS, None))
+            M_a=P(GENE_AXIS, None), M_p=P(None, None))
         self.stats_spec = RunStats(
             a_sum=P(GENE_AXIS, None), a_sumsq=P(GENE_AXIS, None),
             p_sum=P(None, None), p_sumsq=P(None, None),
             n_stat=P(), pump=P(GENE_AXIS, None), n_pump=P(),
             chisq_hist=P(None), atom_hist_a=P(None), atom_hist_p=P(None),
             snap_a=P(None, GENE_AXIS, None), snap_p=P(None, None, None),
-            upd_lo=P(), upd_hi=P())
+            upd_lo=P(), upd_hi=P(),
+            prop_counts=P(None, None), acc_counts=P(None, None),
+            sweep_counts=P(None))
 
         in_specs = (self.data_spec, self.state_spec, self.stats_spec,
                     P(None), P(), P())
@@ -185,7 +187,6 @@ class ShardedGapsEngine:
             M_a = jnp.asarray(fp)
         elif self.config.which_matrix_fixed == "P":
             M_p = jnp.asarray(fixed_patterns, jnp.float32)
-        R = dense.rebuild_cache(self.data.D, self.data.invS2, M_a, M_p).R
         state = ChainState(
             atoms_a=AtomTable(
                 mass=jnp.zeros((self.cap_a_local * self.n_dev,), jnp.float32),
@@ -195,7 +196,7 @@ class ShardedGapsEngine:
                 mass=jnp.zeros((self.config.capacity_p,), jnp.float32),
                 elem=jnp.full((self.config.capacity_p,), -1, jnp.int32),
                 n=jnp.zeros((), jnp.int32)),
-            M_a=M_a, M_p=M_p, R=R)
+            M_a=M_a, M_p=M_p)
         return self._put(state, self.state_spec)
 
     def init_stats(self) -> RunStats:

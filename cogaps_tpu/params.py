@@ -10,9 +10,7 @@ reference: R/class-CogapsParams.R:99-123).
 TPU-specific additions (no counterpart in the reference, which tunes
 OpenMP threads instead): ``batch_size_*`` (width of the vectorized
 conflict-free proposal sweep), ``atom_capacity_*`` (static capacity of the
-on-device atom tables), ``rebuild_interval`` (periodic exact residual
-rebuild — the reference rebuilds its AP cache only at checkpoints,
-src/GapsRunner.cpp:245-252), and ``n_chains`` (vmapped independent chains
+on-device atom tables), and ``n_chains`` (vmapped independent chains
 per device).
 """
 
@@ -84,13 +82,18 @@ class CogapsParams:
     batch_size_p: Optional[int] = None
     atom_capacity_a: Optional[int] = None
     atom_capacity_p: Optional[int] = None
-    rebuild_interval: int = 100  # exact residual rebuild every N iterations (0=off)
+    # retained for config compatibility: the engine now rebuilds its
+    # conditional-mean cache exactly at every sampler phase (models/dense.py)
+    rebuild_interval: int = 100
     n_chains: int = 1  # independent vmapped chains
     # max iterations per device dispatch: long-running single XLA programs
     # trip device-side watchdogs (observed on TPU v5e at ~2000 GIST
     # iterations in one program), so phases run as a host-side loop of
     # bounded spans; the per-span dispatch cost (~100us) is negligible.
     dispatch_iters: int = 250
+    # None = auto (fused Pallas sweep kernel on TPU backends, XLA sweep on
+    # CPU); True/False force. ops/pallas_sweep.py documents why.
+    use_pallas: Optional[bool] = None
 
     # ------------------------------------------------------------------
     def resolved_seed(self) -> int:
@@ -234,12 +237,18 @@ class CogapsParams:
         n_bins_p = n_samples * k
 
         def default_batch(n_rows: int) -> int:
-            # proposals survive conflict resolution at ~n_rows scale; cap
-            return max(16, min(1024, _next_pow2(n_rows)))
+            # wide batches use the uncontested-only conflict rule
+            # (ops/sweep.py), whose expected survivor count
+            # B*exp(-B/n_rows) peaks at B ~ n_rows — oversampling past
+            # that only wastes draws
+            return max(32, min(1024, _next_pow2(n_rows)))
 
         def default_capacity(n_bins: int) -> int:
-            # stationary atom counts are O(alpha * nBins)..O(nBins); leave room
-            return max(1 << 12, min(1 << 22, _next_pow2(4 * n_bins)))
+            # stationary atom counts on real data sit well under 1
+            # atom/bin (GIST k=7 equilibrates at ~3.2k atoms over 9.5k
+            # bins); 2x nBins leaves ~6x headroom while the per-sweep
+            # cost of capacity is one int cumsum + table memory
+            return max(1 << 12, min(1 << 22, _next_pow2(2 * n_bins)))
 
         return EngineConfig(
             n_patterns=k,
@@ -259,6 +268,7 @@ class CogapsParams:
             snapshot_phase=self.snapshot_phase,
             take_pump_samples=bool(self.take_pump_samples),
             dispatch_iters=int(self.dispatch_iters),
+            use_pallas=self.use_pallas,
         )
 
 
@@ -284,3 +294,8 @@ class EngineConfig:
     snapshot_phase: str
     take_pump_samples: bool
     dispatch_iters: int = 250
+    use_pallas: Optional[bool] = None
+    # pallas kernel knobs: per-call sweep cap (outer while continues on
+    # Poisson tails) and the VMEM-constrained batch clamp
+    s_max: int = 48
+    pallas_max_batch: int = 256

@@ -70,17 +70,20 @@ def run_iteration_sparse(cfg: EngineConfig, consts_a: SamplerConsts,
     atoms_p, M_p = state.atoms_p, state.M_p
     done_a = jnp.zeros((), jnp.int32)
     done_p = jnp.zeros((), jnp.int32)
+    obs_a = obs_p = None
 
     if fixed != "A":
         model_a = sparse.make_model(data.ell_a, sparse.make_sparse_phase(M_p))
-        atoms_a, M_a, _, done_a, _ = run_updates(
+        atoms_a, M_a, _, done_a, ns_a, cnt_a = run_updates(
             kua, atoms_a, M_a, (), temp, n_a, consts_a, data.mass_a,
             model=model_a)
+        obs_a = (ns_a, cnt_a)
     if fixed != "P":
         model_p = sparse.make_model(data.ell_p, sparse.make_sparse_phase(M_a))
-        atoms_p, M_p, _, done_p, _ = run_updates(
+        atoms_p, M_p, _, done_p, ns_p, cnt_p = run_updates(
             kup, atoms_p, M_p, (), temp, n_p, consts_p, data.mass_p,
             model=model_p)
+        obs_p = (ns_p, cnt_p)
 
     state = SparseChainState(atoms_a=atoms_a, atoms_p=atoms_p,
                              M_a=M_a, M_p=M_p)
@@ -90,7 +93,8 @@ def run_iteration_sparse(cfg: EngineConfig, consts_a: SamplerConsts,
 
     stats = accumulate_stats(cfg, hist, phase, it, M_a, M_p,
                              state.atoms_a.n, state.atoms_p.n,
-                             done_a, done_p, stats, chisq_fn, n_genes)
+                             done_a, done_p, stats, chisq_fn, n_genes,
+                             obs_a=obs_a, obs_p=obs_p)
     return state, stats
 
 

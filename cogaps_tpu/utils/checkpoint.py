@@ -46,7 +46,7 @@ def save_checkpoint(path: str, engine, state, stats, phase: int,
         "atoms_a_n": state.atoms_a.n,
         "atoms_p_mass": state.atoms_p.mass, "atoms_p_elem": state.atoms_p.elem,
         "atoms_p_n": state.atoms_p.n,
-        "sparse": np.bool_(not hasattr(state, "R")),
+        "sparse": np.bool_(type(state).__name__ == "SparseChainState"),
         # statistics
         "a_sum": stats.a_sum, "a_sumsq": stats.a_sumsq,
         "p_sum": stats.p_sum, "p_sumsq": stats.p_sumsq,
@@ -55,9 +55,9 @@ def save_checkpoint(path: str, engine, state, stats, phase: int,
         "atom_hist_a": stats.atom_hist_a, "atom_hist_p": stats.atom_hist_p,
         "snap_a": stats.snap_a, "snap_p": stats.snap_p,
         "upd_lo": stats.upd_lo, "upd_hi": stats.upd_hi,
+        "prop_counts": stats.prop_counts, "acc_counts": stats.acc_counts,
+        "sweep_counts": stats.sweep_counts,
     }
-    if hasattr(state, "R"):
-        payload["R"] = state.R
     # .backup rename during the write (reference: GapsRunner.cpp:232-243)
     backup = path + ".backup"
     if os.path.exists(path):
@@ -82,21 +82,14 @@ def load_checkpoint(path: str, engine) -> Tuple[object, object, int, int]:
             or int(z["n_patterns"]) != engine.config.n_patterns):
         raise ValueError("checkpoint does not match data dimensions")
 
-    atoms_a = AtomTable(mass=jnp.asarray(z["atoms_a_mass"]),
-                        elem=jnp.asarray(z["atoms_a_elem"]),
-                        n=jnp.asarray(z["atoms_a_n"]))
-    atoms_p = AtomTable(mass=jnp.asarray(z["atoms_p_mass"]),
-                        elem=jnp.asarray(z["atoms_p_elem"]),
-                        n=jnp.asarray(z["atoms_p_n"]))
-    if "R" in z:
-        state = ChainState(atoms_a=atoms_a, atoms_p=atoms_p,
-                           M_a=jnp.asarray(z["M_a"]),
-                           M_p=jnp.asarray(z["M_p"]),
-                           R=jnp.asarray(z["R"]))
-    else:
-        state = SparseChainState(atoms_a=atoms_a, atoms_p=atoms_p,
-                                 M_a=jnp.asarray(z["M_a"]),
-                                 M_p=jnp.asarray(z["M_p"]))
+    from .atoms_compat import load_table
+    atoms_a = load_table(z["atoms_a_mass"], z["atoms_a_elem"],
+                         z["atoms_a_n"])
+    atoms_p = load_table(z["atoms_p_mass"], z["atoms_p_elem"],
+                         z["atoms_p_n"])
+    cls = SparseChainState if bool(z["sparse"]) else ChainState
+    state = cls(atoms_a=atoms_a, atoms_p=atoms_p,
+                M_a=jnp.asarray(z["M_a"]), M_p=jnp.asarray(z["M_p"]))
     stats = RunStats(
         a_sum=jnp.asarray(z["a_sum"]), a_sumsq=jnp.asarray(z["a_sumsq"]),
         p_sum=jnp.asarray(z["p_sum"]), p_sumsq=jnp.asarray(z["p_sumsq"]),
@@ -106,7 +99,13 @@ def load_checkpoint(path: str, engine) -> Tuple[object, object, int, int]:
         atom_hist_a=jnp.asarray(z["atom_hist_a"]),
         atom_hist_p=jnp.asarray(z["atom_hist_p"]),
         snap_a=jnp.asarray(z["snap_a"]), snap_p=jnp.asarray(z["snap_p"]),
-        upd_lo=jnp.asarray(z["upd_lo"]), upd_hi=jnp.asarray(z["upd_hi"]))
+        upd_lo=jnp.asarray(z["upd_lo"]), upd_hi=jnp.asarray(z["upd_hi"]),
+        prop_counts=jnp.asarray(z["prop_counts"]) if "prop_counts" in z
+        else jnp.zeros((2, 4), jnp.int32),
+        acc_counts=jnp.asarray(z["acc_counts"]) if "acc_counts" in z
+        else jnp.zeros((2, 4), jnp.int32),
+        sweep_counts=jnp.asarray(z["sweep_counts"]) if "sweep_counts" in z
+        else jnp.zeros((2,), jnp.int32))
     return state, stats, int(z["phase"]), int(z["iteration"])
 
 

@@ -73,9 +73,13 @@ def test_binary_a(result):
 
 
 def test_calc_cogaps_stat_planted_set(result):
-    """A set built from the top loadings of pattern 1 must test significant
-    for pattern 1 and not for an unrelated random set."""
-    top = np.argsort(-result.Amean[:, 0])[:5]
+    """A set planted from the top z-scores of pattern 1 must test
+    significant for pattern 1. The statistic permutes the z = mean/sd
+    matrix (reference: R/methods-CogapsResult.R:510-521), so the planted
+    set is built from top z — top-Amean genes need not have top z when
+    their posterior sd is large."""
+    z = analysis.calc_z(result)
+    top = np.argsort(-z[:, 0])[:5]
     planted = [result.gene_names[i] for i in top]
     rng = np.random.default_rng(0)
     randset = [result.gene_names[i] for i in rng.choice(25, 5, replace=False)]

@@ -37,20 +37,16 @@ def test_atom_mass_drift(modsim):
     assert float(jnp.max(jnp.abs(mp - state.M_p))) < 0.01
 
 
-def test_residual_consistency(modsim):
-    """Incrementally maintained R must track the exact rebuild — the analog
-    of the AP-cache consistency the reference asserts in debug builds.
-    Pure fp32 scatter-add accumulation drifts slowly (like the reference's
-    fp32 AP cache, rebuilt only at checkpoints); the default engine also
-    rebuilds periodically, which must keep the error at float tolerance."""
+def test_compact_table_invariant(modsim):
+    """The sweep must keep the atom tables compact (live atoms in slots
+    [0, n) — ops/atoms.py); selection correctness depends on it."""
     D, _, _ = modsim
-    eng, state, _ = _run(D, rebuild_interval=0)
-    exact = dense.rebuild_cache(eng.D, eng.invS2, state.M_a, state.M_p).R
-    assert float(jnp.max(jnp.abs(exact - state.R))) < 0.5  # bounded drift
-
-    eng2, state2, _ = _run(D, rebuild_interval=10)
-    exact2 = dense.rebuild_cache(eng2.D, eng2.invS2, state2.M_a, state2.M_p).R
-    assert float(jnp.max(jnp.abs(exact2 - state2.R))) < 0.05
+    _, state, _ = _run(D)
+    for atoms in (state.atoms_a, state.atoms_p):
+        elem = np.asarray(atoms.elem)
+        n = int(atoms.n)
+        assert (elem[:n] >= 0).all()
+        assert (elem[n:] == -1).all()
 
 
 def test_atom_table_invariants(modsim):
@@ -107,14 +103,26 @@ def test_chisq_decreases(modsim):
     assert hist[-1] < 0.5 * hist[0]
 
 
-def test_rebuild_interval_matches_no_rebuild(modsim):
-    """Periodic exact residual rebuilds are numerical hygiene only — the
-    trajectory must stay within float tolerance of the no-rebuild run."""
+def test_y_cache_consistency(modsim):
+    """The incrementally maintained conditional-mean table Y must track
+    its exact rebuild across a full update call — the analog of the
+    AP-cache consistency the reference asserts in debug builds
+    (AsynchronousGibbsSampler.h:119-121)."""
+    import jax
+    from cogaps_tpu.ops.sweep import run_updates
     D, _, _ = modsim
-    _, s1, _ = _run(D, n_iterations=100, seed=5, rebuild_interval=0)
-    _, s2, _ = _run(D, n_iterations=100, seed=5, rebuild_interval=10)
-    assert np.allclose(np.asarray(s1.M_a), np.asarray(s2.M_a),
-                       rtol=1e-3, atol=1e-3)
+    eng, state, _ = _run(D, n_iterations=50, seed=5)
+    phase = dense.make_phase(eng.data.invS2, state.M_p)
+    model = dense.make_model(phase, eng.data.invS2)
+    cache = dense.rebuild_cache(eng.data.D, eng.data.invS2,
+                                state.M_a, state.M_p)
+    atoms, M_a, cache, done, _, _ = run_updates(
+        jax.random.PRNGKey(9), state.atoms_a, state.M_a, cache,
+        jnp.float32(1.0), jnp.asarray(500, jnp.int32), eng.consts_a,
+        eng.data.mass_a, model=model)
+    assert int(done) == 500
+    exact = dense.rebuild_cache(eng.data.D, eng.data.invS2, M_a, state.M_p)
+    assert float(jnp.max(jnp.abs(exact.Y - cache.Y))) < 0.05
 
 
 def test_annealing_temp_zero_start(modsim):

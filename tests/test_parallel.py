@@ -75,18 +75,21 @@ def test_sharded_chain_converges(modsim):
     assert trimmed.shape == (25, 3)
 
 
-def test_sharded_residual_consistency(modsim):
+def test_sharded_mass_drift(modsim):
+    """Sharded chain: per-shard atom masses must track the sharded factor
+    matrix (the drift oracle, AsynchronousGibbsSampler.h:237-270)."""
+    from cogaps_tpu.ops.atoms import total_mass_per_element
     D, _, _ = modsim
-    cfg = _cfg(D, rebuild_interval=10)
+    cfg = _cfg(D)
     mesh = Mesh(np.array(jax.devices()[:4]), ("genes",))
     eng = ShardedGapsEngine(D, None, cfg, mesh)
     state, stats = eng.init_state(), eng.init_stats()
     key = jax.random.PRNGKey(5)
     state, stats = eng.run_phase(state, stats, key, 0)
-    exact = dense.rebuild_cache(eng.data.D, eng.data.invS2,
-                                jnp.asarray(state.M_a),
-                                jnp.asarray(state.M_p)).R
-    assert float(jnp.max(jnp.abs(exact - state.R))) < 0.05
+    mp = total_mass_per_element(
+        jax.device_get(state.atoms_p), D.shape[1] * cfg.n_patterns
+    ).reshape(-1, cfg.n_patterns)
+    assert float(jnp.max(jnp.abs(mp - jnp.asarray(state.M_p)))) < 0.01
 
 
 def test_sharded_chisq_matches_manual(modsim):

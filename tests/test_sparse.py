@@ -75,10 +75,11 @@ def test_sparse_alpha_matches_dense(sparse_data):
     # include guaranteed same-row pairs
     r2 = r2.at[:16].set(r1[:16])
 
-    d_ab = dense.alpha_batch(dense.DenseCache(R), dphase, invS2,
-                             r1, c1, r2, c2)
+    from cogaps_tpu.ops.sweep import make_addr
+    addr = make_addr(r1, c1, r2, c2, D.shape[0], k)
+    d_ab = dense.alpha_batch(dense.DenseCache(R), dphase, invS2, addr)
     smodel = sparse.make_model(sparse.to_ell(D), sparse.make_sparse_phase(other))
-    s_ab = smodel.alpha((), M, r1, c1, r2, c2)
+    s_ab = smodel.alpha((), M, addr)
 
     # atol absorbs fp cancellation noise on exact-zero (same-element) pairs;
     # values are O(1e3), so atol=0.1 is still a strict check
