@@ -477,3 +477,91 @@ class GapsEngine:
     def chisq(self, state: ChainState) -> float:
         return float(dense.chisq_from_state(self.data.D, self.invS2,
                                             state.M_a, state.M_p))
+
+
+# ----------------------------------------------------------------------
+# batched iteration (multi-chain Pallas path)
+# ----------------------------------------------------------------------
+def run_iteration_batch(cfg: EngineConfig, consts_a: SamplerConsts,
+                        consts_p: SamplerConsts, hist: HistConfig,
+                        phase: int, data: DeviceData, it,
+                        state: ChainState, stats: RunStats, base_keys
+                        ) -> Tuple[ChainState, RunStats]:
+    """run_iteration over a leading chain axis, dispatching both
+    samplers' update calls as ONE multi-chain Pallas kernel each
+    (ops/pallas_sweep.run_updates_pallas_multi) — the chains' sweeps are
+    interleaved inside the kernel to hide per-op latency. Everything
+    else (Poisson counts, cache rebuilds, statistics) is vmapped XLA."""
+    from .ops.pallas_sweep import run_updates_pallas_multi
+    fixed = cfg.which_matrix_fixed
+    NCH = state.M_a.shape[0]
+    n_genes = data.D.shape[1]
+
+    key_it = jax.vmap(lambda k: jax.random.fold_in(
+        jax.random.fold_in(k, phase), it))(base_keys)
+    ks = jax.vmap(lambda k: jax.random.split(k, 4))(key_it)
+    kpa, kpp, kua, kup = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+
+    if phase == EQUILIBRATION:
+        temp = jnp.minimum(
+            1.0, (2.0 * it.astype(jnp.float32)) / cfg.n_iterations)
+    else:
+        temp = jnp.float32(1.0)
+
+    n_a = jax.vmap(lambda k, n: gaps_rng.poisson(
+        k, jnp.maximum(n, 10).astype(jnp.float32)))(kpa, state.atoms_a.n)
+    n_p = jax.vmap(lambda k, n: gaps_rng.poisson(
+        k, jnp.maximum(n, 10).astype(jnp.float32)))(kpp, state.atoms_p.n)
+
+    atoms_a, M_a = state.atoms_a, state.M_a
+    atoms_p, M_p = state.atoms_p, state.M_p
+    done_a = jnp.zeros((NCH,), jnp.int32)
+    done_p = jnp.zeros((NCH,), jnp.int32)
+    obs_a = obs_p = None
+
+    ck_a = consts_a._replace(batch=min(consts_a.batch,
+                                       cfg.pallas_max_batch))
+    ck_p = consts_p._replace(batch=min(consts_p.batch,
+                                       cfg.pallas_max_batch))
+    interp = jax.default_backend() == "cpu"
+
+    if fixed != "A":
+        cache_a = jax.vmap(dense.rebuild_cache)(data.D, data.invS2,
+                                                M_a, M_p)
+        atoms_a, M_a, _, done_a, ns_a, cnt_a = run_updates_pallas_multi(
+            kua, atoms_a, M_a, cache_a, temp, n_a, ck_a, data.mass_a,
+            invS2=data.invS2, other_M=M_p, s_max=cfg.s_max,
+            interpret=interp)
+        obs_a = (ns_a, cnt_a)
+    if fixed != "P":
+        cache_p = jax.vmap(dense.rebuild_cache)(data.D_t, data.invS2_t,
+                                                M_p, M_a)
+        atoms_p, M_p, _, done_p, ns_p, cnt_p = run_updates_pallas_multi(
+            kup, atoms_p, M_p, cache_p, temp, n_p, ck_p, data.mass_p,
+            invS2=data.invS2_t, other_M=M_a, s_max=cfg.s_max,
+            interpret=interp)
+        obs_p = (ns_p, cnt_p)
+
+    state = ChainState(atoms_a=atoms_a, atoms_p=atoms_p,
+                       M_a=M_a, M_p=M_p)
+
+    from .ops.sweep import SweepCounts
+    zobs = (jnp.zeros((NCH,), jnp.int32),
+            SweepCounts(processed=jnp.zeros((NCH, 4), jnp.int32),
+                        accepted=jnp.zeros((NCH, 4), jnp.int32)))
+    obs_a = obs_a if obs_a is not None else zobs
+    obs_p = obs_p if obs_p is not None else zobs
+
+    def one_stats(M_a1, M_p1, na1, np1, da1, dp1, stats1, D1, invS21,
+                  obs_a1, obs_p1):
+        def chisq_fn():
+            return dense.chisq_from_state(D1, invS21, M_a1, M_p1)
+        return accumulate_stats(cfg, hist, phase, it, M_a1, M_p1, na1,
+                                np1, da1, dp1, stats1, chisq_fn,
+                                n_genes, None, obs_a=obs_a1,
+                                obs_p=obs_p1)
+
+    stats = jax.vmap(one_stats)(
+        M_a, M_p, state.atoms_a.n, state.atoms_p.n, done_a, done_p,
+        stats, data.D, data.invS2, obs_a, obs_p)
+    return state, stats

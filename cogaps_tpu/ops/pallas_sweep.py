@@ -52,10 +52,12 @@ from ..ops.sweep import MassParams, SamplerConsts, SweepCounts
 
 LANE = 128
 F32 = jnp.float32
-# JAX's default matmul precision is bfloat16-class even for f32 operands;
-# the one-hot formulation moves exact integers (indices, counts, lane
-# ranks < 2^24) and f32 table values through matmuls, so every dot runs
-# at HIGHEST precision (bf16x6 passes on the MXU — exact for f32).
+# JAX's default matmul precision is bfloat16-class even for f32 operands,
+# which silently rounds the integers (indices, counts, lane ranks) and
+# f32 table values this formulation moves through matmuls. HIGH runs
+# bf16x3 passes on the MXU — 24 mantissa bits, exact for f32 operands —
+# at half the cost of HIGHEST (bf16x6, ~f64-class) — but Mosaic only
+# lowers DEFAULT and HIGHEST, so HIGHEST it is.
 _PREC = jax.lax.Precision.HIGHEST
 EPS = float(gaps_rng.EPSILON)
 _SQRT2 = 1.4142135623730951
@@ -140,6 +142,17 @@ def _mm(a, b):
     return jnp.dot(a, b, preferred_element_type=F32, precision=_PREC)
 
 
+def _dot1_fast(a, b):
+    """Count-only contraction: products are 0/1 and sums are <= B, so
+    DEFAULT (single-pass bf16) precision is exact for B <= 256."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=F32)
+
+
+def _mm_fast(a, b):
+    return jnp.dot(a, b, preferred_element_type=F32)
+
+
 class _Tbl:
     """One-hot access to a (T/128, 128)-tiled flat table by (1, B) f32
     indices. `valid` masks lanes for writes/counts."""
@@ -163,7 +176,8 @@ class _Tbl:
         return _mm(jnp.ones((1, LANE), F32), W * self.ohl)
 
     def hit(self):
-        return _dot1(self.ohh, self.ohl)  # (Tc, 128)
+        # occupancy counts are small integers: single-pass precision
+        return _dot1_fast(self.ohh, self.ohl)  # (Tc, 128)
 
     def sums(self, vals):
         return _dot1(self.ohh * vals, self.ohl)
@@ -194,12 +208,15 @@ def _gibbs_mass(u, s, s_mu, a, b, lam=None):
     return val, ok & (s > F32(EPS))
 
 
-def _sweep_once(consts: SamplerConsts, NRp, mp, kp, uni, tri, state,
-                temp, n_steps_f, lam, mgm, SQT, invS2T, otherM, otherT,
-                colnz):
-    """One sweep on (1, B) lanes. `state` = (mass2, elem2, MT, YT, n_f,
-    done_f, c0..c8); mirrors ops/sweep.py `sweep`."""
-    (mass2, elem2f, MT, YT, n_f, done_f, *cs) = state
+def _sweep_once(consts: SamplerConsts, uni, tri, state,
+                temp, n_steps_f, lam, mgm, SQ, invS2, other, colnz):
+    """One sweep on (1, B) lanes. `state` = (mass2, elem2, M, Y, n_f,
+    done_f, c0..c8); mirrors ops/sweep.py `sweep`. All factor/data arrays
+    keep their raw shapes — M/Y/SQ (NR, k), invS2 (NR, m), other (m, k) —
+    with matmul orientation handled by dot_general contraction dims
+    (Mosaic pads to tiles internally)."""
+    (mass2, elem2f, M, Y, n_f, done_f, *cs) = state
+    NR = consts.n_rows
     B = consts.batch
     C = consts.capacity
     K = consts.k
@@ -252,13 +269,15 @@ def _sweep_once(consts: SamplerConsts, NRp, mp, kp, uni, tri, state,
     # ---- conflict: first-wins rows + uncontested atoms (ops/sweep._keep)
     big = F32(float(B))
     lane_f = jnp.where(active, lane, big)
-    ohr1m = (_iota0(NRp, B) == r1).astype(F32) * active.astype(F32)
-    ohr2m = ((_iota0(NRp, B) == r2) & active & uses2).astype(F32)
+    ohr1 = (_iota0(NR, B) == r1).astype(F32)
+    ohr2 = (_iota0(NR, B) == r2).astype(F32)
+    ohr1m = ohr1 * active.astype(F32)
+    ohr2m = ohr2 * (active & uses2).astype(F32)
     lmin1 = jnp.min(jnp.where(ohr1m > 0, lane_f, big), axis=1,
                     keepdims=True)
     lmin2 = jnp.min(jnp.where(ohr2m > 0, lane_f, big), axis=1,
                     keepdims=True)
-    rmin = jnp.minimum(lmin1, lmin2)  # (NRp, 1)
+    rmin = jnp.minimum(lmin1, lmin2)  # (NR, 1)
     back1 = _dot0(rmin, ohr1m)  # (1, B); 0 where lane inactive
     back2 = _dot0(rmin, ohr2m)
     # active lanes always have ohr1m column sum 1, so back1 == rmin[r1]
@@ -272,9 +291,9 @@ def _sweep_once(consts: SamplerConsts, NRp, mp, kp, uni, tri, state,
     keep &= ~is_exch | (t_a2.gather(acnt) <= 1.0)
 
     # capacity guard + budget truncation (inclusive prefix via tri)
-    pre_birth_rank = _mm((keep & is_birth).astype(F32), tri)
+    pre_birth_rank = _mm_fast((keep & is_birth).astype(F32), tri)
     keep &= ~is_birth | (n_f + pre_birth_rank - 1.0 < C)
-    rank = _mm(keep.astype(F32), tri)
+    rank = _mm_fast(keep.astype(F32), tri)
     keep &= rank <= remaining
 
     is_birth &= keep
@@ -283,24 +302,24 @@ def _sweep_once(consts: SamplerConsts, NRp, mp, kp, uni, tri, state,
     is_exch &= keep
 
     # ---- alpha parameters from VMEM tables ----
-    ohr1 = (_iota0(NRp, B) == r1).astype(F32)
-    ohr2 = (_iota0(NRp, B) == r2).astype(F32)
-    ohc1 = (_iota0(kp, B) == c1).astype(F32)
-    ohc2 = (_iota0(kp, B) == c2).astype(F32)
-    ones_k = jnp.ones((1, kp), F32)
-    ones_m = jnp.ones((1, mp), F32)
+    K_ = consts.k
+    m_ = consts.m
+    ohc1 = (_iota0(K_, B) == c1).astype(F32)
+    ohc2 = (_iota0(K_, B) == c2).astype(F32)
+    ones_k = jnp.ones((1, K_), F32)
+    ones_m = jnp.ones((1, m_), F32)
 
-    def pg(planes, ohr, ohc):  # planes (kp, NRp): value[i] = planes[c_i, r_i]
-        return _mm(ones_k, _mm(planes, ohr) * ohc)
+    def pg(tbl, ohr, ohc):  # tbl (NR, k): value[i] = tbl[r_i, c_i]
+        return _mm(ones_k, _dot0(tbl, ohr) * ohc)
 
-    s1 = pg(SQT, ohr1, ohc1)
-    s2 = pg(SQT, ohr2, ohc2)
-    smu1 = pg(YT, ohr1, ohc1)
-    smu2 = pg(YT, ohr2, ohc2)
+    s1 = pg(SQ, ohr1, ohc1)
+    s2 = pg(SQ, ohr2, ohc2)
+    smu1 = pg(Y, ohr1, ohc1)
+    smu2 = pg(Y, ohr2, ohc2)
 
-    W1 = _mm(invS2T, ohr1)  # (mp, B) invS2 row per lane
-    o1 = _mm(otherM, ohc1)  # (mp, B) frozen partner column per lane
-    o2 = _mm(otherM, ohc2)
+    W1 = _dot0(invS2, ohr1)  # (m, B) invS2 row per lane
+    o1 = _mm(other, ohc1)  # (m, B) frozen partner column per lane
+    o2 = _mm(other, ohc2)
     x = _mm(ones_m, o1 * o2 * W1)
     same_row = (r1 == r2).astype(F32)
     s_pair = s1 + s2 - 2.0 * x * same_row
@@ -356,17 +375,18 @@ def _sweep_once(consts: SamplerConsts, NRp, mp, kp, uni, tri, state,
     d2 = jnp.where(ex_acc, nm2 - m2, d2)
     v2m = move_acc | ex_acc
 
-    for rr, dd, vm, ohr, ohc, oS in (
-            (r1, d1, v1m, ohr1, ohc1, o1),
-            (r2, d2, v2m, ohr2, ohc2, o2)):
-        old = pg(MT, ohr, ohc)
+    for rr, dd, vm, ohr, ohc, oS, W_r0 in (
+            (r1, d1, v1m, ohr1, ohc1, o1, W1),
+            (r2, d2, v2m, ohr2, ohc2, o2, None)):
+        old = pg(M, ohr, ohc)
         actual = jnp.where(vm, jnp.maximum(old + dd, 0.0) - old, 0.0)
-        # MT[c, r] += actual where (c_i, r_i) hit: (kp, NRp) outer sums
-        MT = MT + _dot1(ohc * actual, ohr)
-        # Y[r, c'] -= actual * Z[r, c, c'] with the Z row recomputed
-        W_r = _mm(invS2T, ohr)  # (mp, B)
-        zrow = _mm(otherT, oS * W_r)  # (kp, B)
-        YT = YT - _dot1(zrow * actual, ohr)
+        # M[r, c] += actual where (r_i, c_i) hit: (NR, k) outer sums
+        M = M + _dot1(ohr * actual, ohc)
+        # Y[r, c'] -= actual * Z[r, c, c'] with the Z row recomputed:
+        # zrow[c', i] = sum_m other[m, c'] o_c[m] invS2[r, m]
+        W_r = W_r0 if W_r0 is not None else _dot0(invS2, ohr)
+        zrow = _dot0(other, oS * W_r)  # (k, B)
+        Y = Y - _dot1(ohr * actual, zrow)
 
     # ---- atom table writes + swap-with-back compaction ----
     write_a1 = death_kill | death_rebirth | move_acc | ex_acc
@@ -376,7 +396,7 @@ def _sweep_once(consts: SamplerConsts, NRp, mp, kp, uni, tri, state,
     elem_v1 = jnp.where(death_kill, -1.0, jnp.where(move_acc, elem2_,
                                                     elem1))
 
-    birth_rank = _mm(birth_acc.astype(F32), tri)
+    birth_rank = _mm_fast(birth_acc.astype(F32), tri)
     bslot = n_f + birth_rank - 1.0  # < C by the capacity guard
 
     twa = _Tbl(a1c, C, write_a1)
@@ -398,9 +418,9 @@ def _sweep_once(consts: SamplerConsts, NRp, mp, kp, uni, tri, state,
     t_valid = lane < n_d
     t_is_hole = _Tbl(t_slot, C).gather(hole_tab) > 0.5
     t_filler = t_valid & ~t_is_hole
-    f_rank = _mm(t_filler.astype(F32), tri)
+    f_rank = _mm_fast(t_filler.astype(F32), tri)
     hole = death_kill & (a1c < n_new)
-    h_rank = _mm(hole.astype(F32), tri)
+    h_rank = _mm_fast(hole.astype(F32), tri)
     Bp = _rup(B + 2, LANE)
     rank_to_src = _Tbl(jnp.minimum(f_rank, Bp - 1.0), Bp, t_filler).set(
         jnp.zeros((Bp // LANE, LANE), F32), t_slot)
@@ -420,13 +440,13 @@ def _sweep_once(consts: SamplerConsts, NRp, mp, kp, uni, tri, state,
             (is_birth, is_death, is_move, is_exch, birth_acc,
              death_kill | death_rebirth, move_acc, ex_acc)]
     new_cs = [cs[0] + 1.0] + [c + s for c, s in zip(cs[1:], sums)]
-    return (mass2, elem2f, MT, YT, n_new, done_f + n_processed, *new_cs)
+    return (mass2, elem2f, M, Y, n_new, done_f + n_processed, *new_cs)
 
 
-def _kernel(consts, NRp, mp, kp, s_max,
-            uni_ref, mass_ref, elem_ref, MT_ref, YT_ref, SQT_ref,
-            invS2T_ref, otherM_ref, otherT_ref, colnz_ref, scal_ref,
-            omass_ref, oelem_ref, oMT_ref, oYT_ref, ocnt_ref):
+def _kernel(consts, s_max,
+            uni_ref, mass_ref, elem_ref, M_ref, Y_ref, SQ_ref,
+            invS2_ref, other_ref, scal_ref,
+            omass_ref, oelem_ref, oM_ref, oY_ref, ocnt_ref):
     B = consts.batch
 
     n0 = scal_ref[0]
@@ -437,28 +457,29 @@ def _kernel(consts, NRp, mp, kp, s_max,
 
     tri = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)).astype(F32)
+    other = other_ref[:]
+    colnz = (jnp.max(other, axis=0, keepdims=True) > 0.0).astype(F32)
 
     def body(s, carry):
         def do(c):
             uni = uni_ref[pl.ds(s * 16, 16), :]
-            return _sweep_once(consts, NRp, mp, kp, uni, tri, c, temp,
-                               n_steps_f, lam, mgm, SQT_ref[:],
-                               invS2T_ref[:], otherM_ref[:], otherT_ref[:],
-                               colnz_ref[:])
+            return _sweep_once(consts, uni, tri, c, temp, n_steps_f, lam,
+                               mgm, SQ_ref[:], invS2_ref[:], other,
+                               colnz)
 
         done_f = carry[5]
         return jax.lax.cond(done_f < n_steps_f, do, lambda c: c, carry)
 
     zero = F32(0.0)
-    init = (mass_ref[:], elem_ref[:], MT_ref[:], YT_ref[:],
+    init = (mass_ref[:], elem_ref[:], M_ref[:], Y_ref[:],
             n0, zero, zero, zero, zero, zero, zero, zero, zero, zero,
             zero)
     out = jax.lax.fori_loop(0, s_max, body, init)
-    (mass2, elem2f, MT, YT, n_f, done_f, *cs) = out
+    (mass2, elem2f, M, Y, n_f, done_f, *cs) = out
     omass_ref[:] = mass2
     oelem_ref[:] = elem2f
-    oMT_ref[:] = MT
-    oYT_ref[:] = YT
+    oM_ref[:] = M
+    oY_ref[:] = Y
     vals = [n_f, done_f] + list(cs)
     for j, v in enumerate(vals):
         ocnt_ref[j] = v
@@ -503,43 +524,24 @@ def run_updates_pallas(key, atoms: AtomTable, M, cache, temp, n_steps,
     device. Returns (atoms, M, cache, done, n_sweeps, counts)."""
     B = consts.batch
     C = consts.capacity
-    K = consts.k
-    NR = consts.n_rows
-    m = consts.m
-    NRp = _rup(NR, LANE)
-    mp = _rup(m, 16)
-    kp = _rup(K, 16)
+    if B > 256:
+        raise ValueError(
+            "pallas sweep batch must be <= 256: the rank/count matmuls "
+            "run at single-pass precision, exact only for sums <= 256")
 
     # pre-draw the identical threefry uniform streams the XLA path uses
-    # (run_updates folds the key by global sweep index)
+    # (run_updates folds the key by global sweep index; each sweep draws
+    # one (16, B) block — ops/sweep.py)
     off = jnp.int32(0) if sweep_offset is None else sweep_offset
     keys = jax.vmap(lambda i: jax.random.fold_in(key, off + i))(
         jnp.arange(s_max))
-
-    def draw(k2):
-        k_u, k_i = jax.random.split(k2, 2)
-        us = jax.random.uniform(k_u, (B, 5), F32)
-        ui = jax.random.uniform(k_i, (B, 4), F32)
-        return jnp.concatenate([us, ui, jnp.zeros((B, 7), F32)], axis=1)
-
-    uni = jax.vmap(draw)(keys)  # (s_max, B, 16)
-    uni = jnp.swapaxes(uni, 1, 2).reshape(s_max * 16, B)
+    uni = jax.vmap(lambda k2: jax.random.uniform(k2, (16, B), F32))(keys)
+    uni = uni.reshape(s_max * 16, B)
 
     mass2 = atoms.mass.reshape(C // LANE, LANE)
     elem2 = atoms.elem.astype(F32).reshape(C // LANE, LANE)
 
-    def pad(X, rows, cols):
-        out = jnp.zeros((rows, cols), F32)
-        return jax.lax.dynamic_update_slice(out, X.astype(F32), (0, 0))
-
-    MT = pad(M.T, kp, NRp)
-    YT = pad(cache.Y.T, kp, NRp)
-    SQT = pad(phase.SQ.T, kp, NRp)
-    invS2T = pad(invS2.T, mp, NRp)
-    otherM = pad(other_M, mp, kp)  # (mp, kp): columns by pattern
-    otherT = pad(other_M.T, kp, mp)
-    colnz = pad(phase.col_nz.astype(F32)[None, :], 1, kp)
-
+    SQ = phase.SQ
     scal = jnp.stack([
         atoms.n.astype(F32),
         n_steps.astype(F32),
@@ -548,33 +550,168 @@ def run_updates_pallas(key, atoms: AtomTable, M, cache, temp, n_steps,
         mass.max_gibbs_mass.astype(F32),
     ])
 
-    kern = functools.partial(_kernel, consts, NRp, mp, kp, s_max)
+    kern = functools.partial(_kernel, consts, s_max)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    NR = consts.n_rows
+    K = consts.k
     out_shapes = (
         jax.ShapeDtypeStruct((C // LANE, LANE), F32),
         jax.ShapeDtypeStruct((C // LANE, LANE), F32),
-        jax.ShapeDtypeStruct((kp, NRp), F32),
-        jax.ShapeDtypeStruct((kp, NRp), F32),
+        jax.ShapeDtypeStruct((NR, K), F32),
+        jax.ShapeDtypeStruct((NR, K), F32),
         jax.ShapeDtypeStruct((16,), F32),
     )
     res = pl.pallas_call(
         kern,
         out_shape=out_shapes,
-        in_specs=[vspec] * 10 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[vspec] * 8 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(vspec, vspec, vspec, vspec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(uni, mass2, elem2, MT, YT, SQT, invS2T, otherM, otherT, colnz, scal)
-    omass, oelem, oMT, oYT, ocnt = res
+    )(uni, mass2, elem2, M, cache.Y, SQ, invS2, other_M, scal)
+    omass, oelem, oM, oY, ocnt = res
 
     atoms_out = AtomTable(mass=omass.reshape(C),
                           elem=oelem.astype(jnp.int32).reshape(C),
                           n=ocnt[0].astype(jnp.int32))
-    M_out = oMT[:K, :NR].T
     from ..models.dense import DenseCache
-    cache_out = DenseCache(Y=oYT[:K, :NR].T)
     done = ocnt[1].astype(jnp.int32)
     n_sweeps = ocnt[2].astype(jnp.int32)
     counts = SweepCounts(processed=ocnt[3:7].astype(jnp.int32),
                          accepted=ocnt[7:11].astype(jnp.int32))
-    return atoms_out, M_out, cache_out, done, n_sweeps, counts
+    return atoms_out, oM, DenseCache(Y=oY), done, n_sweeps, counts
+
+
+# ----------------------------------------------------------------------
+# multi-chain kernel: NCH chains' update calls interleaved in ONE kernel
+# ----------------------------------------------------------------------
+def _kernel_multi(consts, s_max, NCH,
+                  uni_ref, mass_ref, elem_ref, M_ref, Y_ref, SQ_ref,
+                  invS2_ref, other_ref, scal_ref,
+                  omass_ref, oelem_ref, oM_ref, oY_ref, ocnt_ref):
+    """NCH independent chains, python-unrolled inside each sweep step so
+    Mosaic's scheduler interleaves their (data-independent) instruction
+    DAGs — hiding the per-op latency that dominates a single chain's
+    sweep. One core runs all chains either way; interleaving raises unit
+    utilization instead of parallelism."""
+    B = consts.batch
+
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)).astype(F32)
+    others = [other_ref[ch] for ch in range(NCH)]
+    colnzs = [(jnp.max(o, axis=0, keepdims=True) > 0.0).astype(F32)
+              for o in others]
+
+    def body(s, carry):
+        new = []
+        for ch in range(NCH):
+            st = carry[ch]
+            n_steps_f = scal_ref[ch, 1]
+
+            def do(c, ch=ch):
+                uni = uni_ref[ch, pl.ds(s * 16, 16), :]
+                return _sweep_once(consts, uni, tri, c, scal_ref[ch, 2],
+                                   scal_ref[ch, 1], scal_ref[ch, 3],
+                                   scal_ref[ch, 4], SQ_ref[ch],
+                                   invS2_ref[ch], others[ch], colnzs[ch])
+
+            new.append(jax.lax.cond(st[5] < n_steps_f, do, lambda c: c,
+                                    st))
+        return tuple(new)
+
+    zero = F32(0.0)
+    init = tuple(
+        (mass_ref[ch], elem_ref[ch], M_ref[ch], Y_ref[ch],
+         scal_ref[ch, 0], zero, zero, zero, zero, zero, zero, zero, zero,
+         zero, zero)
+        for ch in range(NCH))
+    out = jax.lax.fori_loop(0, s_max, body, init)
+    for ch in range(NCH):
+        (mass2, elem2f, M, Y, n_f, done_f, *cs) = out[ch]
+        omass_ref[ch] = mass2
+        oelem_ref[ch] = elem2f
+        oM_ref[ch] = M
+        oY_ref[ch] = Y
+        vals = [n_f, done_f] + list(cs)
+        for j, v in enumerate(vals):
+            ocnt_ref[ch, j] = v
+
+
+def run_updates_pallas_multi(keys, atoms: AtomTable, M, cache, temp,
+                             n_steps, consts: SamplerConsts,
+                             mass: MassParams, *, invS2, other_M,
+                             s_max: int = 32, interpret: bool = False,
+                             sweep_offsets=None):
+    """Batched analog of run_updates_pallas: every array carries a
+    leading chain axis; `keys` is (NCH, 2), `n_steps` (NCH,), MassParams
+    fields (NCH,). Returns stacked results."""
+    NCH = M.shape[0]
+    B = consts.batch
+    C = consts.capacity
+    if B > 256:
+        raise ValueError(
+            "pallas sweep batch must be <= 256: the rank/count matmuls "
+            "run at single-pass precision, exact only for sums <= 256")
+
+    offs = (jnp.zeros((NCH,), jnp.int32) if sweep_offsets is None
+            else sweep_offsets)
+
+    def draw_chain(key, off):
+        ks = jax.vmap(lambda i: jax.random.fold_in(key, off + i))(
+            jnp.arange(s_max))
+        return jax.vmap(lambda k2: jax.random.uniform(k2, (16, B), F32))(
+            ks).reshape(s_max * 16, B)
+
+    uni = jax.vmap(draw_chain)(keys, offs)  # (NCH, s_max*16, B)
+
+    mass2 = atoms.mass.reshape(NCH, C // LANE, LANE)
+    elem2 = atoms.elem.astype(F32).reshape(NCH, C // LANE, LANE)
+    scal = jnp.stack([
+        atoms.n.astype(F32),
+        n_steps.astype(F32),
+        jnp.broadcast_to(jnp.asarray(temp, F32), (NCH,)),
+        mass.lam.astype(F32).reshape(NCH),
+        mass.max_gibbs_mass.astype(F32).reshape(NCH),
+    ], axis=1)  # (NCH, 5)
+
+    kern = functools.partial(_kernel_multi, consts, s_max, NCH)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    NR = consts.n_rows
+    K = consts.k
+    out_shapes = (
+        jax.ShapeDtypeStruct((NCH, C // LANE, LANE), F32),
+        jax.ShapeDtypeStruct((NCH, C // LANE, LANE), F32),
+        jax.ShapeDtypeStruct((NCH, NR, K), F32),
+        jax.ShapeDtypeStruct((NCH, NR, K), F32),
+        jax.ShapeDtypeStruct((NCH, 16), F32),
+    )
+    res = pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        in_specs=[vspec] * 8 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(vspec, vspec, vspec, vspec,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(uni, mass2, elem2, M, cache.Y, SQ_batched(cache, invS2, other_M),
+      invS2, other_M, scal)
+    omass, oelem, oM, oY, ocnt = res
+
+    atoms_out = AtomTable(mass=omass.reshape(NCH, C),
+                          elem=oelem.astype(jnp.int32).reshape(NCH, C),
+                          n=ocnt[:, 0].astype(jnp.int32))
+    from ..models.dense import DenseCache
+    done = ocnt[:, 1].astype(jnp.int32)
+    n_sweeps = ocnt[:, 2].astype(jnp.int32)
+    counts = SweepCounts(processed=ocnt[:, 3:7].astype(jnp.int32),
+                         accepted=ocnt[:, 7:11].astype(jnp.int32))
+    return atoms_out, oM, DenseCache(Y=oY), done, n_sweeps, counts
+
+
+def SQ_batched(cache, invS2, other_M):
+    """SQ = invS2 @ other^2 per chain (the dense phase table)."""
+    return jnp.einsum("crm,cmk->crk", invS2, other_M * other_M,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -233,10 +233,12 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     idx = jnp.arange(B, dtype=jnp.int32)
     n = atoms.n
 
-    k_u, k_i = jax.random.split(key, 2)
-    us = jax.random.uniform(k_u, (B, 5), jnp.float32)
-    u1, u2, u_gibbs, u_exp, u_acc = (us[:, j] for j in range(5))
-    ui = jax.random.uniform(k_i, (B, 4), jnp.float32)
+    # one (16, B) uniform block per sweep — rows 0-4 drive type/accept
+    # draws, rows 5-8 drive selection; the layout is shared verbatim with
+    # the Pallas kernel's pre-drawn slabs (ops/pallas_sweep.py)
+    uni = jax.random.uniform(key, (16, B), jnp.float32)
+    u1, u2, u_gibbs, u_exp, u_acc = (uni[j] for j in range(5))
+    ui = uni[5:9].T
 
     active = idx < jnp.minimum(remaining, B)
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..engine import (ChainState, DeviceData, HistConfig, RunStats,
+from ..engine import (ChainState, DeviceData, HistConfig, RunStats,  # noqa
                       derive_hist, init_chain_state, init_run_stats,
                       build_consts, run_iteration)
 from ..models import dense
@@ -93,9 +93,19 @@ class MultichainEngine:
                 data)
         self.data = data
 
+        from ..engine import run_iteration_batch, _resolve_use_pallas
+
         def phase_span(phase, data, state, stats, keys, start, stop):
+            use_batch = (_resolve_use_pallas(config)
+                         and self.consts_a.axis_name is None
+                         and config.which_matrix_fixed in ("N", "A", "P"))
+
             def body(it, carry):
                 st, sts = carry
+                if use_batch:
+                    return run_iteration_batch(
+                        config, self.consts_a, self.consts_p, self.hist,
+                        phase, data, it, st, sts, keys)
                 st, sts = jax.vmap(
                     functools.partial(run_iteration, config, self.consts_a,
                                       self.consts_p, self.hist, phase),

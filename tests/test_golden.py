@@ -1,0 +1,98 @@
+"""Golden validation against the reference's own shipped results.
+
+The reference distributes precomputed results exactly so output can be
+compared (reference: data/modsimresult.rda — a converged 50k-iteration
+CogapsResult on modsimdata; data/GIST.RData — GIST.result on the GIST
+matrix). data/modsim.npz and data/gist.npz vendor those via the
+pure-Python RData reader (cogaps_tpu/io/rdata.py). These tests are the
+external check on the sweep's proposal-kernel design deltas
+(ops/sweep.py module docstring): if the sampler's equilibrium drifts
+from the reference's, they fail.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from cogaps_tpu import CoGAPS
+
+DATA = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data")
+
+
+def best_perm_corr(ours: np.ndarray, golden: np.ndarray) -> np.ndarray:
+    """Greedy best-match correlation per golden pattern (patterns are
+    exchangeable across runs)."""
+    k = golden.shape[1]
+    cors = np.zeros((k, k))
+    for i in range(k):
+        for j in range(k):
+            cors[i, j] = np.corrcoef(golden[:, i], ours[:, j])[0, 1]
+    out = []
+    used = set()
+    for i in range(k):
+        order = np.argsort(-cors[i])
+        j = next(jj for jj in order if jj not in used)
+        used.add(j)
+        out.append(cors[i, j])
+    return np.asarray(out)
+
+
+@pytest.fixture(scope="module")
+def modsim_golden():
+    z = np.load(os.path.join(DATA, "modsim.npz"))
+    return {k: np.asarray(z[k]) for k in z}
+
+
+def test_modsim_golden_equilibrium(modsim_golden):
+    """meanChiSq and the equilibrium chi^2 level must match the
+    reference's converged modsim run within MCMC variance (reference
+    golden: meanChiSq 38.7, chisq history plateau ~130-140)."""
+    g = modsim_golden
+    res = CoGAPS(g["D"], n_patterns=3, n_iterations=1500, seed=7,
+                 messages=False, output_frequency=150)
+    golden_mcs = float(g["golden_meanChiSq"].reshape(-1)[0])
+    golden_eq = float(np.mean(g["golden_chisqHistory"][2:]))
+    hist = res.diagnostics["chisqHistory"]
+    ours_eq = float(np.mean(hist[len(hist) // 2:]))
+    # equilibrium chi^2 within 2x of the reference's plateau
+    assert ours_eq < 2.0 * golden_eq, (ours_eq, golden_eq)
+    assert res.mean_chi_sq < 2.5 * golden_mcs, (res.mean_chi_sq,
+                                                golden_mcs)
+    # atom counts in the same regime as the reference (~70 A / ~40 P)
+    n_a = res.diagnostics["atomHistoryA"][-1]
+    n_p = res.diagnostics["atomHistoryP"][-1]
+    assert 10 <= n_a <= 10 * np.mean(g["golden_atomsA"])
+    assert 5 <= n_p <= 10 * np.mean(g["golden_atomsP"])
+
+
+def test_modsim_golden_pattern_recovery(modsim_golden):
+    """The recovered P patterns must correlate with the reference's
+    converged sampleFactors (pattern identity is exchangeable; compare
+    under best matching)."""
+    g = modsim_golden
+    res = CoGAPS(g["D"], n_patterns=3, n_iterations=3000, seed=11,
+                 messages=False)
+    cors = best_perm_corr(res.Pmean, g["golden_Pmean"])
+    assert (cors > 0.75).all(), cors
+    cors_a = best_perm_corr(res.Amean, g["golden_Amean"])
+    assert (cors_a > 0.7).all(), cors_a
+    # meanChiSq lands in the reference's converged band (golden: 38.7)
+    golden_mcs = float(g["golden_meanChiSq"].reshape(-1)[0])
+    assert res.mean_chi_sq < 2.0 * golden_mcs
+
+
+@pytest.mark.slow
+def test_gist_golden_pattern_recovery():
+    """GIST k=7: factorization quality and pattern recovery against the
+    reference's shipped GIST.result (reference: data/GIST.RData)."""
+    z = np.load(os.path.join(DATA, "gist.npz"))
+    res = CoGAPS(np.asarray(z["D"]), n_patterns=7, n_iterations=600,
+                 seed=3, messages=False,
+                 uncertainty=np.asarray(z["uncertainty"]))
+    golden_mcs = float(np.asarray(z["golden_meanChiSq"]).reshape(-1)[0])
+    assert res.mean_chi_sq < 2.0 * golden_mcs
+    cors = best_perm_corr(res.Pmean, np.asarray(z["golden_Pmean"]))
+    # 7 patterns at modest iterations: most patterns must be recovered
+    assert np.median(cors) > 0.6, cors
