@@ -18,6 +18,11 @@ from typing import Optional, Sequence, Union
 import numpy as np
 
 from .engine import EQUILIBRATION, SAMPLING, GapsEngine
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x, jnp.float32)
 from .models import dense
 from .params import CogapsParams
 from .result import CogapsResult, finalize_statistics, mean_chi_sq
@@ -28,16 +33,29 @@ from .utils.logging import log_worker, log_message
 def _load_data(data, transpose: bool):
     """Input coercion (reference: R/HelperFunctions.R:342-356 + file
     dispatch in R/CoGAPS.R:145-151)."""
+    from .io.h5 import CooMatrix
     gene_names = sample_names = None
     if isinstance(data, str):
-        from .io import parsers
-        mat, row_names, col_names = parsers.read_matrix(data)
-        gene_names, sample_names = row_names, col_names
+        if data.endswith((".h5", ".hdf5", ".h5ad")):
+            from .io.h5 import read_any_h5
+            mat, gene_names, sample_names = read_any_h5(data)
+        else:
+            from .io import parsers
+            mat, row_names, col_names = parsers.read_matrix(data)
+            gene_names, sample_names = row_names, col_names
+    elif isinstance(data, CooMatrix):
+        mat = data
     else:
         mat = np.asarray(data, dtype=np.float32)
         if hasattr(data, "index") and hasattr(data, "columns"):  # DataFrame
             gene_names = [str(x) for x in data.index]
             sample_names = [str(x) for x in data.columns]
+    if isinstance(mat, CooMatrix):
+        if transpose:
+            mat = CooMatrix(rows=mat.cols, cols=mat.rows, vals=mat.vals,
+                            shape=(mat.shape[1], mat.shape[0]))
+            gene_names, sample_names = sample_names, gene_names
+        return mat, gene_names, sample_names
     if mat.ndim != 2:
         raise ValueError("data must be a 2-D matrix")
     if transpose:
@@ -46,8 +64,22 @@ def _load_data(data, transpose: bool):
     return np.ascontiguousarray(mat, np.float32), gene_names, sample_names
 
 
-def _check_inputs(D: np.ndarray, uncertainty, params: CogapsParams) -> None:
+def _check_inputs(D, uncertainty, params: CogapsParams) -> None:
     """Validation rules (reference: R/HelperFunctions.R:194-249)."""
+    from .io.h5 import CooMatrix
+    if isinstance(D, CooMatrix):
+        if np.isnan(D.vals).any():
+            raise ValueError("NA values in data")
+        if (D.vals < 0).any():
+            raise ValueError("negative values in data matrix")
+        if uncertainty is not None:
+            raise ValueError(
+                "sparse (COO) input uses the implied uncertainty; custom "
+                "uncertainty requires a dense matrix")
+        if params.n_patterns >= min(D.shape) > 1:
+            raise ValueError(
+                "nPatterns must be less than the smaller data dimension")
+        return
     if np.isnan(D).any():
         raise ValueError("NA values in data")
     if (D < 0).any():
@@ -130,8 +162,10 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
         seed = ckpt.checkpoint_seed(params.checkpoint_in_file)
     else:
         seed = params.resolved_seed()
+    from .io.h5 import CooMatrix
+    is_coo = isinstance(D, CooMatrix)
     config = params.engine_config(D.shape[0], D.shape[1])
-    if params.sparse_optimization:
+    if params.sparse_optimization or is_coo:
         from .sparse_engine import SparseGapsEngine
         engine = SparseGapsEngine(D, config)
     else:
@@ -196,11 +230,20 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
     if params.which_matrix_fixed != "N":
         mcs = 0.0
     else:
-        S = (np.asarray(uncertainty, np.float32) if uncertainty is not None
-             else dense.default_uncertainty(D))
-        if params.sparse_optimization:
-            S = np.maximum(0.1 * D, 0.1)  # implied (GapsStatistics.cpp:106)
-        mcs = mean_chi_sq(amean, pmean, D, S)
+        if is_coo:
+            # closed-form meanChiSq over the nonzeros — never densify
+            # (reference formula: GapsStatistics.cpp:88-111)
+            from .models import sparse as sparse_model
+            mcs = float(sparse_model.sparse_chisq(
+                engine.data.ell_a, jnp_asarray(amean), jnp_asarray(pmean)))
+        else:
+            S = (np.asarray(uncertainty, np.float32)
+                 if uncertainty is not None
+                 else dense.default_uncertainty(D))
+            if params.sparse_optimization:
+                # implied uncertainty (GapsStatistics.cpp:106)
+                S = np.maximum(0.1 * D, 0.1)
+            mcs = mean_chi_sq(amean, pmean, D, S)
 
     total_updates = int(stats.upd_hi) * (1 << 30) + int(stats.upd_lo)
     # sampler observability (SURVEY §5): proposal/acceptance counts by

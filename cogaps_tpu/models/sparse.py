@@ -72,18 +72,11 @@ class EllMatrix(NamedTuple):
 
 
 def to_ell(D: np.ndarray) -> EllMatrix:
-    """Dense (rows, cols) -> ELL. Width = max nonzeros per row."""
+    """Dense (rows, cols) -> ELL via the vectorized COO path."""
     D = np.asarray(D, np.float32)
-    nnz_per_row = (D != 0).sum(axis=1)
-    L = max(int(nnz_per_row.max()), 1)
-    n = D.shape[0]
-    idx = np.full((n, L), -1, np.int32)
-    val = np.zeros((n, L), np.float32)
-    for r in range(n):
-        cols = np.nonzero(D[r])[0]
-        idx[r, : len(cols)] = cols
-        val[r, : len(cols)] = D[r, cols]
-    return EllMatrix(idx=jnp.asarray(idx), val=jnp.asarray(val))
+    rows, cols = np.nonzero(D)
+    return coo_to_ell(rows.astype(np.int32), cols.astype(np.int32),
+                      D[rows, cols], D.shape[0])
 
 
 def coo_to_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,

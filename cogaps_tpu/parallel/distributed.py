@@ -164,11 +164,23 @@ def distributed_cogaps(D: np.ndarray, params: CogapsParams, uncertainty,
         # same seed for every worker like the reference's forked params
         return _run_single(d, p, u, g, s)
 
+    # subset chains run CONCURRENTLY as one vmapped/fused multichain
+    # program (the TPU analog of the reference's forked workers,
+    # R/DistributedCogaps.R:56-67); the sparse model keeps the per-subset
+    # loop (no batched sparse engine yet)
+    use_multichain = not params.sparse_optimization
+
+    def run_phase_sets(fixed):
+        if not use_multichain:
+            return [run_subset(i, s, fixed) for i, s in enumerate(sets)]
+        return _run_subsets_multichain(D, unc, params, sets, genome_wide,
+                                       gene_names, sample_names, fixed)
+
     diagnostics = {}
     if params.fixed_patterns is None:
         if params.print_messages:
             log_message("Running Across Subsets...")
-        initial = [run_subset(i, s, None) for i, s in enumerate(sets)]
+        initial = run_phase_sets(None)
         # gather the short-axis factor from every subset chain: Pmean for
         # genome-wide, Amean for single-cell (R/DistributedCogaps.R:71-74)
         unmatched = [(r.Pmean if genome_wide else r.Amean) for r in initial]
@@ -187,7 +199,7 @@ def distributed_cogaps(D: np.ndarray, params: CogapsParams, uncertainty,
 
     if params.print_messages:
         log_message("Running Final Stage...")
-    final = [run_subset(i, s, consensus) for i, s in enumerate(sets)]
+    final = run_phase_sets(consensus)
 
     result = stitch_together(final, sets, genome_wide, gene_names,
                              sample_names)
@@ -247,3 +259,112 @@ def stitch_together(results: List[CogapsResult], sets: List[np.ndarray],
                          r.diagnostics.get("totalUpdates", 0)
                          for r in results),
                      "seed": results[0].diagnostics.get("seed")})
+
+def _run_subsets_multichain(D, unc, params: CogapsParams, sets,
+                            genome_wide: bool, gene_names, sample_names,
+                            fixed) -> List[CogapsResult]:
+    """Run all nSets subset chains as ONE multichain program (padded to a
+    common shape with invS2 = 0 entries — exact likelihood no-ops), the
+    concurrent analog of the reference's bplapply forks
+    (R/DistributedCogaps.R:64-67, 93-97)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine import EQUILIBRATION, SAMPLING
+    from ..models import dense
+    from ..result import finalize_statistics, mean_chi_sq
+    from .multichain import MultichainEngine, stack_device_data
+
+    p = _dc.replace(params)
+    p.distributed = None
+    p.running_distributed = True
+    if fixed is not None:
+        p.n_patterns = int(np.asarray(fixed).shape[1])
+        p.fixed_patterns = np.asarray(fixed, np.float32)
+        p.which_matrix_fixed = "P" if genome_wide else "A"
+
+    if genome_wide:
+        subDs = [D[s, :] for s in sets]
+        subUs = ([unc[s, :] for s in sets] if unc is not None else None)
+    else:
+        subDs = [D[:, s] for s in sets]
+        subUs = ([unc[:, s] for s in sets] if unc is not None else None)
+
+    Gmax = max(d.shape[0] for d in subDs)
+    Smax = max(d.shape[1] for d in subDs)
+    cfg = p.engine_config(Gmax, Smax)
+    data = stack_device_data(subDs, subUs, cfg, pad_rows=Gmax,
+                             pad_cols=Smax)
+    n = len(sets)
+    # with multiple devices, shard the chain axis over the mesh — one
+    # subset chain per device group, zero communication (the reference's
+    # worker model, MulticoreParam(workers=nSets))
+    mesh = None
+    devs = jax.devices()
+    if len(devs) > 1 and n % min(n, len(devs)) == 0:
+        nd = min(n, len(devs))
+        if n % nd == 0:
+            from jax.sharding import Mesh
+            mesh = Mesh(np.array(devs[:nd]), ("chains",))
+    eng = MultichainEngine(data, cfg, mesh=mesh)
+    seed = p.resolved_seed()
+    # every worker gets the reference's identical seed semantics
+    # (R/DistributedCogaps.R forks carry the same params@seed)
+    keys = jnp.stack([jax.random.PRNGKey(seed)] * n)
+
+    fixed_padded = None
+    if fixed is not None:
+        fp = np.asarray(fixed, np.float32)
+        if genome_wide:  # fixed P (samples x k): pad samples axis
+            pad = np.zeros((Smax, fp.shape[1]), np.float32)
+            pad[: fp.shape[0]] = fp
+        else:  # fixed A (genes x k)
+            pad = np.zeros((Gmax, fp.shape[1]), np.float32)
+            pad[: fp.shape[0]] = fp
+        fixed_padded = pad
+
+    import time as _time
+    t0 = _time.time()
+    state = eng.init_state(fixed_padded)
+    stats = eng.init_stats()
+    state, stats = eng.run_phase(state, stats, keys, EQUILIBRATION)
+    state, stats = eng.run_phase(state, stats, keys, SAMPLING)
+    stats = jax.device_get(stats)
+    elapsed = _time.time() - t0
+
+    results = []
+    for i, s in enumerate(sets):
+        g_i, s_i = subDs[i].shape
+        amean, asd, pmean, psd = finalize_statistics(
+            np.asarray(stats.a_sum[i][:g_i]),
+            np.asarray(stats.a_sumsq[i][:g_i]),
+            np.asarray(stats.p_sum[i][:s_i]),
+            np.asarray(stats.p_sumsq[i][:s_i]),
+            int(stats.n_stat[i]))
+        if p.which_matrix_fixed != "N":
+            mcs = 0.0
+        else:
+            Di = np.asarray(subDs[i], np.float32)
+            Si = (np.asarray(subUs[i], np.float32) if subUs is not None
+                  else dense.default_uncertainty(Di))
+            mcs = mean_chi_sq(amean, pmean, Di, Si)
+        if genome_wide:
+            genes = [gene_names[j] for j in s]
+            samples = list(sample_names)
+        else:
+            genes = list(gene_names)
+            samples = [sample_names[j] for j in s]
+        k = amean.shape[1]
+        results.append(CogapsResult(
+            Amean=amean, Asd=asd, Pmean=pmean, Psd=psd, mean_chi_sq=mcs,
+            gene_names=genes, sample_names=samples,
+            pattern_names=[f"Pattern_{j+1}" for j in range(k)],
+            diagnostics={
+                "meanChiSq": mcs, "seed": seed,
+                "totalUpdates": int(stats.upd_hi[i]) * (1 << 30)
+                + int(stats.upd_lo[i]),
+                "totalRunningTime": elapsed,
+            }))
+    return results

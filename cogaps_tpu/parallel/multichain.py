@@ -36,12 +36,15 @@ CHAIN_AXIS = "chains"
 
 
 def stack_device_data(Ds, Ss, cfg: EngineConfig,
-                      pad_rows: Optional[int] = None) -> DeviceData:
-    """Stack per-chain datasets [(G_i, S)] into one batched DeviceData,
-    padding the gene axis to a common size with invS2 = 0 rows."""
+                      pad_rows: Optional[int] = None,
+                      pad_cols: Optional[int] = None) -> DeviceData:
+    """Stack per-chain datasets into one batched DeviceData, padding the
+    gene axis (and optionally the sample axis — single-cell subsets) to
+    a common size with invS2 = 0 entries (exact no-ops in every
+    likelihood term)."""
     n = len(Ds)
     G = pad_rows or max(d.shape[0] for d in Ds)
-    S = Ds[0].shape[1]
+    S = pad_cols or max(d.shape[1] for d in Ds)
     D_stack = np.zeros((n, G, S), np.float32)
     inv_stack = np.zeros((n, G, S), np.float32)
     lam_a = np.zeros((n,), np.float32)
@@ -50,9 +53,9 @@ def stack_device_data(Ds, Ss, cfg: EngineConfig,
         D = np.asarray(D, np.float32)
         Si = (np.asarray(Ss[i], np.float32) if Ss is not None and Ss[i] is not None
               else dense.default_uncertainty(D))
-        g = D.shape[0]
-        D_stack[i, :g] = D
-        inv_stack[i, :g] = 1.0 / (Si * Si)
+        g, s = D.shape
+        D_stack[i, :g, :s] = D
+        inv_stack[i, :g, :s] = 1.0 / (Si * Si)
         lam_a[i] = dense.compute_lambda(D, cfg.alpha_a, cfg.n_patterns)
         lam_p[i] = dense.compute_lambda(D, cfg.alpha_p, cfg.n_patterns)
     Dj = jnp.asarray(D_stack)

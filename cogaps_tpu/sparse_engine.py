@@ -101,22 +101,41 @@ def run_iteration_sparse(cfg: EngineConfig, consts_a: SamplerConsts,
 class SparseGapsEngine:
     """Sparse-model engine with the same surface as GapsEngine."""
 
-    def __init__(self, D: np.ndarray, config: EngineConfig):
-        D = np.asarray(D, np.float32)
-        if np.any(D < 0):
-            raise ValueError("negative values in data matrix")
-        self.n_genes, self.n_samples = D.shape
+    def __init__(self, D, config: EngineConfig):
+        """`D` is a dense (genes x samples) array OR an io.h5.CooMatrix —
+        the COO path never densifies (atlas-scale ingestion,
+        SURVEY.md §7.10)."""
+        from .io.h5 import CooMatrix
+        if isinstance(D, CooMatrix):
+            rows, cols, vals = D.rows, D.cols, D.vals
+            self.n_genes, self.n_samples = D.shape
+            if np.any(vals < 0):
+                raise ValueError("negative values in data matrix")
+            nnz_mean = float(vals.mean()) if len(vals) else 1.0
+            ell_a = sparse.coo_to_ell(rows, cols, vals, self.n_genes)
+            ell_p = sparse.coo_to_ell(cols, rows, vals, self.n_samples)
+            self.data_sparsity = 1.0 - len(vals) / max(
+                self.n_genes * self.n_samples, 1)
+        else:
+            D = np.asarray(D, np.float32)
+            if np.any(D < 0):
+                raise ValueError("negative values in data matrix")
+            self.n_genes, self.n_samples = D.shape
+            nz = D[D != 0]
+            nnz_mean = float(nz.mean()) if nz.size else 1.0
+            ell_a = sparse.to_ell(D)
+            ell_p = sparse.to_ell(D.T)
+            self.data_sparsity = sparse.sparsity(D)
         self.config = config
         self.hist = derive_hist(config)
         k = config.n_patterns
-        self.data_sparsity = sparse.sparsity(D)
 
-        lam_a = dense.compute_lambda(D, config.alpha_a, k)
-        lam_p = dense.compute_lambda(D, config.alpha_p, k)
+        lam_a = float(config.alpha_a) * float(np.sqrt(k / nnz_mean))
+        lam_p = float(config.alpha_p) * float(np.sqrt(k / nnz_mean))
         self.lam_a, self.lam_p = lam_a, lam_p
         self.data = SparseDeviceData(
-            ell_a=sparse.to_ell(D),
-            ell_p=sparse.to_ell(D.T),
+            ell_a=ell_a,
+            ell_p=ell_p,
             mass_a=MassParams(jnp.float32(lam_a),
                               jnp.float32(config.max_gibbs_mass_a / lam_a)),
             mass_p=MassParams(jnp.float32(lam_p),

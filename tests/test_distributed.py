@@ -163,3 +163,42 @@ def test_subset_too_small_rejected(modsim):
     params = CogapsParams(n_patterns=8, n_iterations=10, seed=1, n_sets=4)
     with pytest.raises(ValueError):
         CoGAPS(D, params, distributed="single-cell", messages=False)
+
+
+def test_multichain_matches_serial_subset_runs(modsim):
+    """The concurrent multichain phase-1 must equal running each subset
+    chain through the single-chain engine (equal-size explicit subsets
+    => no padding => identical streams). Reference semantics:
+    R/DistributedCogaps.R:64-67 forks with identical params."""
+    import dataclasses
+    import numpy as np
+    from cogaps_tpu.api import _run_single
+    from cogaps_tpu.params import CogapsParams
+    from cogaps_tpu.parallel.distributed import _run_subsets_multichain
+
+    D, _, _ = modsim
+    sets = [np.arange(0, 12), np.arange(12, 24)]
+    params = CogapsParams(n_patterns=3, n_iterations=80, seed=21,
+                          distributed="genome-wide", n_sets=2,
+                          explicit_sets=[list(s) for s in sets],
+                          print_messages=False)
+    genes = [f"G{i}" for i in range(D.shape[0])]
+    samples = [f"S{i}" for i in range(D.shape[1])]
+    multi = _run_subsets_multichain(D, None, params, sets, True,
+                                    genes, samples, None)
+
+    serial = []
+    for i, s in enumerate(sets):
+        p = dataclasses.replace(params)
+        p.distributed = None
+        p.explicit_sets = None
+        p.running_distributed = True
+        p.print_messages = False
+        serial.append(_run_single(D[s, :], p, None,
+                                  [genes[j] for j in s], samples))
+
+    for rm, rs in zip(multi, serial):
+        np.testing.assert_allclose(rm.Amean, rs.Amean, rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(rm.Pmean, rs.Pmean, rtol=1e-4,
+                                   atol=1e-5)
