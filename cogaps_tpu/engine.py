@@ -314,6 +314,13 @@ def run_phase_span(cfg: EngineConfig, consts_a: SamplerConsts,
     return jax.lax.fori_loop(start_iter, stop_iter, body, (state, stats))
 
 
+# module-level jits keyed on the hashable static config tuple, so every
+# engine instance with the same configuration shares ONE compilation
+# (distributed runs build several engines per call; per-instance jits
+# recompiled identical programs)
+_jit_phase_span = jax.jit(run_phase_span, static_argnums=(0, 1, 2, 3, 4))
+
+
 def dispatch_spans(start: int, stop: int, span: int):
     """Host-side span schedule: one XLA program per <=span iterations.
     Long single programs (the whole phase) trip the TPU device watchdog;
@@ -435,10 +442,7 @@ class GapsEngine:
         self.data_sparsity = float((D == 0).mean())
         self.hist = derive_hist(config)
 
-        self._run_phase = jax.jit(
-            functools.partial(run_phase_span, config, self.consts_a,
-                              self.consts_p, self.hist),
-            static_argnums=(0,))
+
 
     # convenience accessors used by checkpointing / tests
     @property
@@ -469,7 +473,8 @@ class GapsEngine:
         bounded spans (checkpoint chunking reuses the same path)."""
         for a, b in dispatch_spans(start_iter, stop_iter,
                                    self.config.dispatch_iters):
-            state, stats = self._run_phase(
+            state, stats = _jit_phase_span(
+                self.config, self.consts_a, self.consts_p, self.hist,
                 phase, self.data, state, stats, seed_key,
                 jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32))
         return state, stats

@@ -35,6 +35,30 @@ from ..params import EngineConfig
 CHAIN_AXIS = "chains"
 
 
+def _phase_span_multi(config, consts_a, consts_p, hist, phase, data,
+                      state, stats, keys, start, stop):
+    from ..engine import run_iteration_batch, _resolve_use_pallas
+    use_batch = (_resolve_use_pallas(config)
+                 and consts_a.axis_name is None)
+
+    def body(it, carry):
+        st, sts = carry
+        if use_batch:
+            return run_iteration_batch(config, consts_a, consts_p, hist,
+                                       phase, data, it, st, sts, keys)
+        st, sts = jax.vmap(
+            functools.partial(run_iteration, config, consts_a, consts_p,
+                              hist, phase),
+            in_axes=(0, None, 0, 0, 0))(data, it, st, sts, keys)
+        return st, sts
+
+    return jax.lax.fori_loop(start, stop, body, (state, stats))
+
+
+_jit_phase_span_multi = jax.jit(_phase_span_multi,
+                                static_argnums=(0, 1, 2, 3, 4))
+
+
 def stack_device_data(Ds, Ss, cfg: EngineConfig,
                       pad_rows: Optional[int] = None,
                       pad_cols: Optional[int] = None) -> DeviceData:
@@ -96,27 +120,9 @@ class MultichainEngine:
                 data)
         self.data = data
 
-        from ..engine import run_iteration_batch, _resolve_use_pallas
-
-        def phase_span(phase, data, state, stats, keys, start, stop):
-            use_batch = (_resolve_use_pallas(config)
-                         and self.consts_a.axis_name is None
-                         and config.which_matrix_fixed in ("N", "A", "P"))
-
-            def body(it, carry):
-                st, sts = carry
-                if use_batch:
-                    return run_iteration_batch(
-                        config, self.consts_a, self.consts_p, self.hist,
-                        phase, data, it, st, sts, keys)
-                st, sts = jax.vmap(
-                    functools.partial(run_iteration, config, self.consts_a,
-                                      self.consts_p, self.hist, phase),
-                    in_axes=(0, None, 0, 0, 0))(data, it, st, sts, keys)
-                return st, sts
-            return jax.lax.fori_loop(start, stop, body, (state, stats))
-
-        self._run_phase = jax.jit(phase_span, static_argnums=(0,))
+        self._run_phase = functools.partial(
+            _jit_phase_span_multi, config, self.consts_a, self.consts_p,
+            self.hist)
 
     # ------------------------------------------------------------------
     def init_state(self, fixed_patterns=None) -> ChainState:

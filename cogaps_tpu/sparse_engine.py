@@ -98,6 +98,20 @@ def run_iteration_sparse(cfg: EngineConfig, consts_a: SamplerConsts,
     return state, stats
 
 
+def _sparse_phase_span(config, consts_a, consts_p, hist, phase, data,
+                       state, stats, seed_key, start, stop):
+    def body(it, carry):
+        st, sts = carry
+        return run_iteration_sparse(config, consts_a, consts_p, hist,
+                                    phase, data, it, st, sts, seed_key)
+
+    return jax.lax.fori_loop(start, stop, body, (state, stats))
+
+
+_jit_sparse_phase_span = jax.jit(_sparse_phase_span,
+                                 static_argnums=(0, 1, 2, 3, 4))
+
+
 class SparseGapsEngine:
     """Sparse-model engine with the same surface as GapsEngine."""
 
@@ -148,15 +162,9 @@ class SparseGapsEngine:
                                     config.capacity_p, config.batch_p,
                                     config.alpha_p)
 
-        def phase_span(phase, data, state, stats, seed_key, start, stop):
-            def body(it, carry):
-                st, sts = carry
-                return run_iteration_sparse(
-                    config, self.consts_a, self.consts_p, self.hist, phase,
-                    data, it, st, sts, seed_key)
-            return jax.lax.fori_loop(start, stop, body, (state, stats))
-
-        self._run_phase = jax.jit(phase_span, static_argnums=(0,))
+        self._run_phase = functools.partial(
+            _jit_sparse_phase_span, config, self.consts_a, self.consts_p,
+            self.hist)
 
     # ------------------------------------------------------------------
     def init_state(self, fixed_patterns: Optional[np.ndarray] = None

@@ -63,9 +63,8 @@ def test_sparse_alpha_matches_dense(sparse_data):
     # dense with implied uncertainty: S = 0.1*D nonzero, 0.1 at zeros
     S = np.where(D > 0, 0.1 * D, 0.1).astype(np.float32)
     invS2 = jnp.asarray(1.0 / (S * S))
-    ap = M @ other.T
-    R = (jnp.asarray(D) - ap) * invS2
     dphase = dense.make_phase(invS2, other)
+    dcache = dense.rebuild_cache(jnp.asarray(D), invS2, M, other)
 
     B = 64
     r1 = jnp.asarray(rng.integers(0, D.shape[0], B), jnp.int32)
@@ -77,7 +76,7 @@ def test_sparse_alpha_matches_dense(sparse_data):
 
     from cogaps_tpu.ops.sweep import make_addr
     addr = make_addr(r1, c1, r2, c2, D.shape[0], k)
-    d_ab = dense.alpha_batch(dense.DenseCache(R), dphase, invS2, addr)
+    d_ab = dense.alpha_batch(dcache, dphase, invS2, addr)
     smodel = sparse.make_model(sparse.to_ell(D), sparse.make_sparse_phase(other))
     s_ab = smodel.alpha((), M, addr)
 
