@@ -35,6 +35,16 @@ from ..params import EngineConfig
 CHAIN_AXIS = "chains"
 
 
+def init_chain_state_batch(config, data):
+    """Batched init (used for spec inference)."""
+    return jax.vmap(lambda d: init_chain_state(config, d))(data)
+
+
+def _init_stats_batch(config, n_chains, n_genes, n_samples, hist):
+    return jax.vmap(lambda _: init_run_stats(
+        config, n_genes, n_samples, hist))(jnp.arange(n_chains))
+
+
 def _phase_span_multi(config, consts_a, consts_p, hist, phase, data,
                       state, stats, keys, start, stop):
     from ..engine import run_iteration_batch, _resolve_use_pallas
@@ -120,9 +130,49 @@ class MultichainEngine:
                 data)
         self.data = data
 
-        self._run_phase = functools.partial(
-            _jit_phase_span_multi, config, self.consts_a, self.consts_p,
-            self.hist)
+        if mesh is None:
+            self._run_phase = functools.partial(
+                _jit_phase_span_multi, config, self.consts_a,
+                self.consts_p, self.hist)
+        else:
+            # explicit shard_map over the chain axis: each device runs
+            # its local chains' iterations with zero communication (the
+            # auto-SPMD partitioner inserts pathological collectives
+            # around the sweep's gathers/scatters otherwise)
+            def chain_spec(x):
+                return jax.sharding.PartitionSpec(
+                    *((CHAIN_AXIS,) + (None,) * (x.ndim - 1)))
+
+            data_spec = jax.tree.map(chain_spec, self.data)
+            state_ex = jax.eval_shape(
+                lambda: init_chain_state_batch(config, self.data))
+            stats_ex = jax.eval_shape(
+                lambda: _init_stats_batch(config, self.n_chains,
+                                          self.n_genes, self.n_samples,
+                                          self.hist))
+            state_spec = jax.tree.map(chain_spec, state_ex)
+            stats_spec = jax.tree.map(chain_spec, stats_ex)
+            P0 = jax.sharding.PartitionSpec
+            self._shard_specs = (state_spec, stats_spec)
+
+            jitted = {}
+            for ph in (0, 1):
+                fn = jax.shard_map(
+                    functools.partial(_phase_span_multi, config,
+                                      self.consts_a, self.consts_p,
+                                      self.hist, ph),
+                    mesh=mesh,
+                    in_specs=(data_spec, state_spec, stats_spec,
+                              P0(CHAIN_AXIS), P0(), P0()),
+                    out_specs=(state_spec, stats_spec),
+                    check_vma=False)
+                jitted[ph] = jax.jit(fn)
+
+            def run(phase, data, state, stats, keys, start, stop):
+                return jitted[phase](data, state, stats, keys, start,
+                                     stop)
+
+            self._run_phase = run
 
     # ------------------------------------------------------------------
     def init_state(self, fixed_patterns=None) -> ChainState:
