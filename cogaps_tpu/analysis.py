@@ -195,7 +195,7 @@ def calc_cogaps_stat(result: CogapsResult, sets: Mapping[str, Sequence],
 
 def calc_gene_gs_stat(result: CogapsResult, gs_to_genes: Sequence[str],
                       num_perm: int = 500, pw: Optional[np.ndarray] = None,
-                      null_genes: bool = False, seed: int = 0) -> np.ndarray:
+                      null_genes: bool = False, seed: int = 0) -> dict:
     """Per-gene membership statistic within a gene set
     (reference: methods:533-569)."""
     gs = list(gs_to_genes)

@@ -89,8 +89,8 @@ class AlphaBatch(NamedTuple):
     smu1: jnp.ndarray
     s_pair: jnp.ndarray
     smu_pair: jnp.ndarray
-    err1: jnp.ndarray = jnp.float32(0.0)
-    err_pair: jnp.ndarray = jnp.float32(0.0)
+    err1: jnp.ndarray = 0.0
+    err_pair: jnp.ndarray = 0.0
 
 
 def default_uncertainty(D: np.ndarray) -> np.ndarray:

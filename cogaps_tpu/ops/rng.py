@@ -27,7 +27,9 @@ import jax.numpy as jnp
 from jax.scipy.special import ndtr, ndtri
 
 # the reference's global epsilon (reference: src/math/Math.h — gaps::epsilon)
-EPSILON = jnp.float32(1.0e-10)
+# (a python float, not a jnp constant: importing the package must not
+# initialize the XLA backend, or jax.distributed.initialize breaks)
+EPSILON = 1.0e-10
 
 
 def trunc_normal(u, a, b, mean, sd):

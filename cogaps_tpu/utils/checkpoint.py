@@ -40,6 +40,10 @@ def save_checkpoint(path: str, engine, state, stats, phase: int,
         "n_genes": np.int32(engine.n_genes),
         "n_samples": np.int32(engine.n_samples),
         "n_patterns": np.int32(engine.config.n_patterns),
+        # full engine-config fingerprint: resuming under different
+        # alpha/maxGibbsMass/batch/... must fail loudly rather than
+        # silently diverge from the resume-exactness contract
+        "config_hash": np.int64(hash(engine.config) & 0x7FFFFFFFFFFFFFFF),
         # chain state ("R" absent for the cache-free sparse model)
         "M_a": state.M_a, "M_p": state.M_p,
         "atoms_a_mass": state.atoms_a.mass, "atoms_a_elem": state.atoms_a.elem,
@@ -81,6 +85,11 @@ def load_checkpoint(path: str, engine) -> Tuple[object, object, int, int]:
             or int(z["n_samples"]) != engine.n_samples
             or int(z["n_patterns"]) != engine.config.n_patterns):
         raise ValueError("checkpoint does not match data dimensions")
+    if "config_hash" in z and int(z["config_hash"]) != (
+            hash(engine.config) & 0x7FFFFFFFFFFFFFFF):
+        raise ValueError(
+            "checkpoint was written with different engine parameters; "
+            "resume requires the identical configuration")
 
     from .atoms_compat import load_table
     atoms_a = load_table(z["atoms_a_mass"], z["atoms_a_elem"],
