@@ -41,21 +41,22 @@ def run_throughput(D: np.ndarray, params: CogapsParams, n_chains: int = 16,
         state, stats = eng.init_state(), eng.init_stats()
         state, stats = eng.run_phase(state, stats, keys, EQUILIBRATION)
         state, stats = eng.run_phase(state, stats, keys, SAMPLING)
-        jax.block_until_ready(state.M_a)
-        return state, stats
+        # block_until_ready does NOT reliably fence the whole program on
+        # the remote-tunnel backend; device_get of the final statistics
+        # is the only trustworthy completion barrier, so the transfer is
+        # inside the timed region (it is tiny next to the run)
+        return state, jax.device_get(stats)
 
-    # warmup: absorb compilation
+    # warmup: absorb compilation of both phase programs
     wu_stop = min(8, params.n_iterations)
     st, ss = eng.init_state(), eng.init_stats()
     st, ss = eng.run_phase(st, ss, keys, EQUILIBRATION, 0, wu_stop)
     st, ss = eng.run_phase(st, ss, keys, SAMPLING, 0, wu_stop)
-    jax.block_until_ready(st.M_a)
+    jax.device_get(ss)
 
     t0 = time.perf_counter()
-    state, stats = full_run()
+    state, stats_h = full_run()
     elapsed = time.perf_counter() - t0
-
-    stats_h = jax.device_get(stats)
     total_updates = (int(np.sum(stats_h.upd_hi.astype(np.int64))) * (1 << 30)
                      + int(np.sum(stats_h.upd_lo.astype(np.int64))))
 

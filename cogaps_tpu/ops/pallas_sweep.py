@@ -284,11 +284,28 @@ def _sweep_once(consts: SamplerConsts, uni, tri, state,
     keep = active & (back1 >= lane_f)
     keep &= ~uses2 | (back2 >= lane_f)
 
-    ta1m = _Tbl(a1c, C, active & uses_a1)
-    ta2m = _Tbl(a2c, C, active & is_exch)
-    acnt = ta1m.hit() + ta2m.hit()
-    keep &= ~uses_a1 | (t_a1.gather(acnt) <= 1.0)
-    keep &= ~is_exch | (t_a2.gather(acnt) <= 1.0)
+    from ..ops.sweep import atoms_first_wins
+    if atoms_first_wins(consts):
+        # exact first-wins on atoms: masked min-lane over the (C, B)
+        # one-hot (affordable for the tiny P sampler)
+        iota_c = _iota0(C, B)
+        oha1 = ((iota_c == a1c) & active & uses_a1).astype(F32)
+        oha2 = ((iota_c == a2c) & active & is_exch).astype(F32)
+        am1 = jnp.min(jnp.where(oha1 > 0, lane_f, big), axis=1,
+                      keepdims=True)
+        am2 = jnp.min(jnp.where(oha2 > 0, lane_f, big), axis=1,
+                      keepdims=True)
+        amin = jnp.minimum(am1, am2)  # (C, 1)
+        aback1 = _dot0(amin, oha1)
+        aback2 = _dot0(amin, oha2)
+        keep &= ~uses_a1 | (aback1 >= lane_f)
+        keep &= ~is_exch | (aback2 >= lane_f)
+    else:
+        ta1m = _Tbl(a1c, C, active & uses_a1)
+        ta2m = _Tbl(a2c, C, active & is_exch)
+        acnt = ta1m.hit() + ta2m.hit()
+        keep &= ~uses_a1 | (t_a1.gather(acnt) <= 1.0)
+        keep &= ~is_exch | (t_a2.gather(acnt) <= 1.0)
 
     # capacity guard + budget truncation (inclusive prefix via tri)
     pre_birth_rank = _mm_fast((keep & is_birth).astype(F32), tri)

@@ -164,6 +164,13 @@ def death_prob(n_f32: jnp.ndarray, consts: SamplerConsts) -> jnp.ndarray:
     return numer / denom
 
 
+def atoms_first_wins(consts: SamplerConsts) -> bool:
+    """Static rule shared by the XLA sweep and the Pallas kernel: exact
+    atom first-wins when the (capacity x batch) masked-min fits in VMEM
+    alongside the sweep's other live arrays."""
+    return consts.capacity * consts.batch <= (1 << 18)
+
+
 def _keep(active, r1, r2, uses2, a1, uses_a1, a2, uses_a2,
           consts: SamplerConsts) -> jnp.ndarray:
     """Conflict resolution (replaces ProposalQueue's mUsedMatrixIndices /
@@ -171,9 +178,11 @@ def _keep(active, r1, r2, uses2, a1, uses_a1, a2, uses_a2,
 
     * rows — exact first-wins: lane i survives iff it is the EARLIEST
       active lane touching each of its rows (min-lane per row);
-    * atoms — uncontested-only: lane i survives iff no OTHER lane touches
-      its atoms (per-slot occupancy counts; min-lane per slot would need
-      a scatter-min, which hangs this backend's compiler).
+    * atoms — exact first-wins (min-lane per slot) when the capacity x
+      batch product is small (the tiny P sampler: a masked min-reduce is
+      affordable); uncontested-only otherwise — lane i survives iff no
+      OTHER lane touches its atoms (per-slot occupancy counts; a
+      capacity-sized scatter-min hangs this backend's compiler).
 
     Both rules are deterministic and the kept set is mutually
     conflict-free; atom contention thins slightly more than first-wins
@@ -192,6 +201,22 @@ def _keep(active, r1, r2, uses2, a1, uses_a1, a2, uses_a2,
         lane_f, mode="drop")
     ok = rmin[r1] >= lane_f
     ok &= jnp.where(uses2, rmin[r2] >= lane_f, True)
+
+    if atoms_first_wins(consts):
+        # exact first-wins on atoms (f32 scatter-min is fine on the CPU
+        # backend where the XLA sweep runs)
+        amin = jnp.full((consts.capacity + 1,), float(B), jnp.float32)
+        amin = amin.at[jnp.where(active & uses_a1, a1,
+                                 consts.capacity)].min(lane_f, mode="drop")
+        amin = amin.at[jnp.where(active & uses_a2, a2,
+                                 consts.capacity)].min(lane_f, mode="drop")
+        ok &= jnp.where(uses_a1,
+                        amin[jnp.minimum(a1, consts.capacity)] >= lane_f,
+                        True)
+        ok &= jnp.where(uses_a2,
+                        amin[jnp.minimum(a2, consts.capacity)] >= lane_f,
+                        True)
+        return active & ok
 
     # atom occupancy counts
     one = jnp.float32(1.0)

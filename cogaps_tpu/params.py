@@ -246,9 +246,10 @@ class CogapsParams:
         def default_capacity(n_bins: int) -> int:
             # stationary atom counts on real data sit well under 1
             # atom/bin (GIST k=7 equilibrates at ~3.2k atoms over 9.5k
-            # bins); 2x nBins leaves ~6x headroom while the per-sweep
-            # cost of capacity is one int cumsum + table memory
-            return max(1 << 12, min(1 << 22, _next_pow2(2 * n_bins)))
+            # bins), so nBins rounded up leaves ~3-5x headroom; smaller
+            # tables also keep the kernel's exact atom first-wins rule
+            # in reach (ops/sweep.atoms_first_wins)
+            return max(1 << 12, min(1 << 22, _next_pow2(n_bins)))
 
         return EngineConfig(
             n_patterns=k,
