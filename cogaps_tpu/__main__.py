@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--csv", action="store_true",
                    help="also write Amean/Asd/Pmean/Psd CSV files")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="runtime sampler-invariant assertions "
+                        "(the GAPS_DEBUG analog)")
     return p
 
 
@@ -57,6 +60,7 @@ def main(argv=None) -> int:
         n_sets=args.n_sets,
         output_frequency=args.output_frequency,
         checkpoint_interval=args.checkpoint_interval,
+        debug_checks=args.debug,
     )
     unc = None
     if args.uncertainty:

@@ -214,6 +214,9 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
                                          state, stats, phase, it, seed)
         else:
             state, stats = engine.run_phase(state, stats, seed_key, phase, it0)
+        if params.debug_checks:
+            from .utils.debug import check_state
+            check_state(jax.device_get(state), config.n_patterns)
 
     stats = jax.device_get(stats)
     state = jax.device_get(state)

@@ -72,6 +72,9 @@ class CogapsParams:
     checkpoint_out_file: str = "gaps_checkpoint.npz"
     checkpoint_in_file: Optional[str] = None
 
+    # runtime debug assertions (the GAPS_DEBUG analog, utils/debug.py)
+    debug_checks: bool = False
+
     # logging
     worker_id: int = 1
     running_distributed: bool = False

@@ -21,7 +21,7 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-GIST_CSV = "/root/reference/inst/extdata/GIST.csv"
+GIST_CSV = "/root/repo/data/GIST.csv"
 
 
 def make_modsim(n_genes=25, n_samples=20, k=3, noise=0.1, seed=0):

@@ -9,7 +9,7 @@ import pytest
 from cogaps_tpu.io import parsers
 from cogaps_tpu.result import CogapsResult
 
-REF = "/root/reference/inst/extdata"
+REF = "/root/repo/data"
 
 
 @pytest.mark.skipif(not os.path.exists(f"{REF}/GIST.csv"),

@@ -70,7 +70,7 @@ def bench_sampler(name, D, invS2, consts, mass, n_atoms0, n_chains, K, seed=0):
 def main():
     n_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    D, _, _ = parsers.read_matrix("/root/reference/inst/extdata/GIST.csv")
+    D, _, _ = parsers.read_matrix("/root/repo/data/GIST.csv")
     params = CogapsParams(n_patterns=7, n_iterations=1000, seed=1)
     cfg = params.engine_config(*D.shape)
     data = prepare_device_data(D, None, cfg)
