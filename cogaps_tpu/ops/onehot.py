@@ -1,28 +1,19 @@
-"""Gather/scatter-free primitives for the TPU hot path.
+"""Gather/scatter-free one-hot/triangular-matmul primitives.
 
-On this TPU target every dynamic gather, scatter, or searchsorted HLO
-costs ~85us of serialized time regardless of operand size, while
-elementwise ops and MXU matmuls of the same data sizes run in ~1us
-(measured in-loop on the v5e chip; see tools/perf_sweep.py for the
-harness). The reference's hot loop is
-pointer-chasing (per-proposal row reductions + map lookups, reference:
-src/gibbs_sampler/DenseNormalModel.cpp:162-258, src/atomic/AtomicDomain.cpp)
-so a literal translation would inherit those serialized ops; instead every
-indexed access in the sweep is reformulated as a one-hot matmul:
+Round 2 built the whole sweep on these after measuring dynamic gathers
+at ~85us; round 3 found that cost is context-dependent (serialized
+custom-call lowering inside large programs, ~2us in small ones) and
+moved the hot path first to native gather/scatter (ops/sweep.py, the
+CPU/reference implementation) and then into a fused Pallas kernel that
+re-uses this module's formulation INSIDE VMEM (ops/pallas_sweep.py).
 
-  * gather rows:      A[idx]        ->  onehot(idx) @ A
-  * scatter-add rows: A[idx] += u   ->  A + onehot(idx).T @ u
-  * 1-D table access: x[i] with i in [0, C) factorized as (i//128, i%128)
-    so the one-hot pair is (B, C/128) and (B, 128) instead of (B, C)
-  * prefix sums:      triangular-ones matmuls on the (C/128, 128) tiling
-  * rank selection (j-th live atom): two-level compare-count against the
-    blocked prefix sums (replaces searchsorted)
-  * single-element history writes:  where(iota == idx, value, arr)
-
-All counting/index matmuls run at precision=HIGHEST: fp32 values below
-2^24 are exact there, so the integer bookkeeping is bit-exact with the
-scatter formulation (validated by the differential test
-tests/test_sweep_equivalence.py).
+What remains here serves two purposes: (a) small fixed-shape bookkeeping
+in the XLA engine (write_at for history/snapshot slots — a compare-select
+with no scatter); (b) the reference implementations against which
+tests/test_sweep_equivalence.py differentially validates every one-hot
+formulation the Pallas kernel relies on (exact integer transport through
+fp32 matmuls at HIGHEST precision, two-level rank selection, prefix-sum
+tiling).
 """
 
 from __future__ import annotations

@@ -224,6 +224,7 @@ def _sweep_once(consts: SamplerConsts, uni, tri, state,
 
     u1, u2, u_gibbs, u_exp, u_acc = (uni[j:j + 1] for j in range(5))
     ui0, ui1, ui2, ui3 = (uni[5 + j:6 + j] for j in range(4))
+    mm_rank = _mm_fast if B <= 256 else _mm  # exactness bound for bf16
 
     lane = _lane_iota(B)
     remaining = n_steps_f - done_f
@@ -308,9 +309,9 @@ def _sweep_once(consts: SamplerConsts, uni, tri, state,
         keep &= ~is_exch | (t_a2.gather(acnt) <= 1.0)
 
     # capacity guard + budget truncation (inclusive prefix via tri)
-    pre_birth_rank = _mm_fast((keep & is_birth).astype(F32), tri)
+    pre_birth_rank = mm_rank((keep & is_birth).astype(F32), tri)
     keep &= ~is_birth | (n_f + pre_birth_rank - 1.0 < C)
-    rank = _mm_fast(keep.astype(F32), tri)
+    rank = mm_rank(keep.astype(F32), tri)
     keep &= rank <= remaining
 
     is_birth &= keep
@@ -413,7 +414,7 @@ def _sweep_once(consts: SamplerConsts, uni, tri, state,
     elem_v1 = jnp.where(death_kill, -1.0, jnp.where(move_acc, elem2_,
                                                     elem1))
 
-    birth_rank = _mm_fast(birth_acc.astype(F32), tri)
+    birth_rank = mm_rank(birth_acc.astype(F32), tri)
     bslot = n_f + birth_rank - 1.0  # < C by the capacity guard
 
     twa = _Tbl(a1c, C, write_a1)
@@ -435,9 +436,9 @@ def _sweep_once(consts: SamplerConsts, uni, tri, state,
     t_valid = lane < n_d
     t_is_hole = _Tbl(t_slot, C).gather(hole_tab) > 0.5
     t_filler = t_valid & ~t_is_hole
-    f_rank = _mm_fast(t_filler.astype(F32), tri)
+    f_rank = mm_rank(t_filler.astype(F32), tri)
     hole = death_kill & (a1c < n_new)
-    h_rank = _mm_fast(hole.astype(F32), tri)
+    h_rank = mm_rank(hole.astype(F32), tri)
     Bp = _rup(B + 2, LANE)
     rank_to_src = _Tbl(jnp.minimum(f_rank, Bp - 1.0), Bp, t_filler).set(
         jnp.zeros((Bp // LANE, LANE), F32), t_slot)
@@ -541,10 +542,6 @@ def run_updates_pallas(key, atoms: AtomTable, M, cache, temp, n_steps,
     device. Returns (atoms, M, cache, done, n_sweeps, counts)."""
     B = consts.batch
     C = consts.capacity
-    if B > 256:
-        raise ValueError(
-            "pallas sweep batch must be <= 256: the rank/count matmuls "
-            "run at single-pass precision, exact only for sums <= 256")
 
     # pre-draw the identical threefry uniform streams the XLA path uses
     # (run_updates folds the key by global sweep index; each sweep draws
@@ -667,10 +664,6 @@ def run_updates_pallas_multi(keys, atoms: AtomTable, M, cache, temp,
     NCH = M.shape[0]
     B = consts.batch
     C = consts.capacity
-    if B > 256:
-        raise ValueError(
-            "pallas sweep batch must be <= 256: the rank/count matmuls "
-            "run at single-pass precision, exact only for sums <= 256")
 
     offs = (jnp.zeros((NCH,), jnp.int32) if sweep_offsets is None
             else sweep_offsets)

@@ -36,7 +36,14 @@ CHAIN_AXIS = "chains"
 
 
 def init_chain_state_batch(config, data):
-    """Batched init (used for spec inference)."""
+    """Batched init (used for spec inference; a dummy fixed matrix is
+    supplied when one factor is fixed — shapes are all that matter)."""
+    if config.which_matrix_fixed == "A":
+        fp = jnp.zeros((data.D.shape[1], config.n_patterns), jnp.float32)
+        return jax.vmap(lambda d: init_chain_state(config, d, fp))(data)
+    if config.which_matrix_fixed == "P":
+        fp = jnp.zeros((data.D.shape[2], config.n_patterns), jnp.float32)
+        return jax.vmap(lambda d: init_chain_state(config, d, fp))(data)
     return jax.vmap(lambda d: init_chain_state(config, d))(data)
 
 

@@ -107,3 +107,27 @@ def test_sharded_chisq_matches_manual(modsim):
     n_hist = stats.chisq_hist.shape[0]
     reported = float(np.asarray(stats.chisq_hist)[n_hist // 2 - 1])
     assert reported == pytest.approx(manual, rel=0.02)
+
+
+def test_sharded_device_count_distribution_equivalence(modsim):
+    """Sharded A-proposal streams are per-device, so the same seed gives
+    different chains on different mesh sizes (documented design delta,
+    parallel/sharded.py) — but the EQUILIBRIUM must agree: converged
+    chi^2 within MCMC variance across 2- and 4-device meshes."""
+    D, _, _ = modsim
+    params = CogapsParams(n_patterns=3, n_iterations=250, seed=2,
+                          output_frequency=50)
+    cfg = params.engine_config(*D.shape)
+    eqs = []
+    for nd in (2, 4):
+        mesh = Mesh(np.array(jax.devices()[:nd]), ("genes",))
+        eng = ShardedGapsEngine(D, None, cfg, mesh)
+        state, stats = eng.init_state(), eng.init_stats()
+        key = jax.random.PRNGKey(9)
+        state, stats = eng.run_phase(state, stats, key, 0)
+        hist = np.asarray(jax.device_get(stats).chisq_hist)
+        eq_half = hist[: len(hist) // 2]  # equilibration slots
+        tail = eq_half[len(eq_half) // 2:]
+        eqs.append(float(np.mean(tail[tail > 0])))
+    lo, hi = min(eqs), max(eqs)
+    assert hi / lo < 1.5, eqs
