@@ -21,29 +21,25 @@ queue — which admits whole batches under a single atom-count window
 (ProposalQueue.cpp:135-158) — all proposals within a batch use the
 batch-start atom count for the birth/death decision.
 
-Execution strategy: every indexed access is a native XLA gather/scatter.
-(Round 2 reformulated all indexing as one-hot matmuls on the assumption
-that dynamic gathers serialize at ~85us on this backend; round-3 in-loop
-measurement — tools/perf_primitives.py — shows (B,) gathers from a 64k
-table at ~1.5us, scatter-set/add at ~0.5-9us, and the one-hot path's
-(B, capacity)-sized intermediates costing ~100x that in HBM traffic. The
-one-hot primitives remain in ops/onehot.py, validated by
-tests/test_sweep_equivalence.py, for small fixed-shape bookkeeping.)
+Execution strategy: this module is the portable XLA implementation —
+the Pallas kernel's differential oracle (tests/test_pallas_sweep.py) and
+the execution path on CPU and in sharded (collective-using) runs. On the
+v5e, TPU runs use the fused Pallas kernel instead (ops/pallas_sweep.py):
+dynamic gathers/scatters inside large XLA programs lower to serialized
+custom-calls at ~100-170us each on that backend (PERF_NOTES.md), so the
+kernel keeps every table VMEM-resident.
 
-Conflict resolution is sized to the sampler (see _keep_*): measured on
-the v5e, int32 scatter-min/sort/top_k hang the Mosaic compiler, f32
-scatter-min serializes (~830us at B=2048 x 16 chains), and the pairwise
-(B, B) mask costs ~336us at B=2048 — so exact first-wins pairwise is
-used only for small batches (the tiny P sampler), while wide batches
-(the A sampler) keep exactly the *uncontested* candidates: a lane
-survives iff NO other lane touches any of its rows/atoms, computed with
-two f32 scatter-add count tables (~5us). Both rules are deterministic,
-keep only mutually non-conflicting proposals, and thin contested rows
-the same way the first-wins rule does (a contested row processes at most
-one proposal per sweep; uncontested-only processes zero, and the next
-sweep redraws) — the expected survivor count at B ~ n_rows differs by
-<2x and the equilibrium behavior is validated against the reference's
-shipped golden results (tests/test_golden.py).
+Conflict resolution (_keep, mirrored exactly by the kernel): rows use
+exact first-wins (min-lane per row); atoms use first-wins when the
+capacity x batch masked-min is affordable (the tiny P sampler —
+ops/sweep.atoms_first_wins) and the uncontested-only rule otherwise (a
+lane survives iff NO other lane touches its atoms; int32 scatter-min
+hangs this backend's compiler at capacity scale). Both rules are
+deterministic, keep only mutually non-conflicting proposals, and thin
+contested entities like the reference's queue does (a contested row
+processes at most one proposal per sweep) — equilibrium behavior is
+validated against the reference's shipped golden results
+(tests/test_golden.py).
 
 Proposal kernels replicate SingleThreadedGibbsSampler.h exactly at the
 element level:
