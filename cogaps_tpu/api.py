@@ -168,6 +168,13 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
     if params.sparse_optimization or is_coo:
         from .sparse_engine import SparseGapsEngine
         engine = SparseGapsEngine(D, config)
+        import jax as _jax
+        if _jax.default_backend() not in ("cpu",) and params.print_messages:
+            log_message(
+                "Note: the sparse data model runs through the XLA sweep "
+                "(no fused TPU kernel yet) — on this backend its dynamic "
+                "gathers serialize; expect lower throughput than the "
+                "dense model (see PERF_NOTES.md)")
     else:
         engine = GapsEngine(D, uncertainty, config)
 
