@@ -85,14 +85,20 @@ def test_modsim_golden_pattern_recovery(modsim_golden):
 
 @pytest.mark.slow
 def test_gist_golden_pattern_recovery():
-    """GIST k=7: factorization quality and pattern recovery against the
-    reference's shipped GIST.result (reference: data/GIST.RData)."""
+    """GIST: factorization quality and pattern recovery against the
+    reference's shipped GIST.result (data/GIST.RData — a k=3
+    default-uncertainty run: its factors reproduce meanChiSq 4474 under
+    the default weighting exactly; chisq plateau ~6550)."""
     z = np.load(os.path.join(DATA, "gist.npz"))
-    res = CoGAPS(np.asarray(z["D"]), n_patterns=7, n_iterations=600,
-                 seed=3, messages=False,
-                 uncertainty=np.asarray(z["uncertainty"]))
+    k = int(np.asarray(z["golden_Pmean"]).shape[1])
+    res = CoGAPS(np.asarray(z["D"]), n_patterns=k, n_iterations=1500,
+                 seed=3, messages=False, output_frequency=250)
+    golden_eq = float(np.mean(np.asarray(z["golden_chisqHistory"])[2:]))
+    hist = res.diagnostics["chisqHistory"]
+    ours_eq = float(np.mean(hist[3 * len(hist) // 4:]))
+    assert ours_eq < 1.5 * golden_eq, (ours_eq, golden_eq)
     golden_mcs = float(np.asarray(z["golden_meanChiSq"]).reshape(-1)[0])
     assert res.mean_chi_sq < 2.0 * golden_mcs
     cors = best_perm_corr(res.Pmean, np.asarray(z["golden_Pmean"]))
-    # 7 patterns at modest iterations: most patterns must be recovered
-    assert np.median(cors) > 0.6, cors
+    assert np.median(cors) > 0.8, cors
+    assert (cors > 0.5).all(), cors
