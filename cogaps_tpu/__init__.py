@@ -8,6 +8,7 @@ pattern-analysis toolkit.
 """
 
 from . import analysis, plots
+from .utils.logging import build_report
 from .api import CoGAPS, GWCoGAPS, scCoGAPS
 from .params import CogapsParams
 from .result import CogapsResult
@@ -16,5 +17,5 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CoGAPS", "GWCoGAPS", "scCoGAPS", "CogapsParams", "CogapsResult",
-    "analysis", "plots", "__version__",
+    "analysis", "plots", "build_report", "__version__",
 ]

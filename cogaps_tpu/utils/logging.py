@@ -23,3 +23,24 @@ def log_message(msg: str) -> None:
 
 def log_worker(worker_id: int, msg: str) -> None:
     print(f"    worker {worker_id} {msg}", file=sys.stdout, flush=True)
+
+
+def build_report() -> str:
+    """Runtime/environment report — the analog of the reference's
+    buildReport() (reference: src/utils/GlobalConfig.h:27-55, surfaced
+    through getBuildReport_cpp)."""
+    import jax
+    import jaxlib
+
+    import cogaps_tpu
+
+    lines = [
+        f"cogaps_tpu version: {cogaps_tpu.__version__}",
+        f"jax: {jax.__version__}, jaxlib: {jaxlib.__version__}",
+        f"backend: {jax.default_backend()}",
+        f"devices: {[str(d) for d in jax.devices()]}",
+        f"process: {jax.process_index()}/{jax.process_count()}",
+        "sweep kernel: fused Pallas (TPU) / XLA (CPU, sharded)",
+        "checkpoints: enabled",
+    ]
+    return "\n".join(lines)
