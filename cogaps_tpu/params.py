@@ -299,7 +299,9 @@ class EngineConfig:
     take_pump_samples: bool
     dispatch_iters: int = 250
     use_pallas: Optional[bool] = None
-    # pallas kernel knobs: per-call sweep cap (outer while continues on
-    # Poisson tails) and the VMEM-constrained batch clamp
-    s_max: int = 48
+    # pallas kernel knobs: per-call sweep cap (the outer while_loop
+    # continues on Poisson tails, so a tight cap just avoids skipped-cond
+    # overhead) and the batch clamp (B <= 256 also keeps the rank/count
+    # matmuls single-pass-exact)
+    s_max: int = 32
     pallas_max_batch: int = 256
