@@ -2,37 +2,47 @@
 
 ops/sweep.py expresses one conflict-free proposal sweep as ~25 XLA
 gather/scatter ops. On the v5e those lower to serialized custom-call
-gathers at ~100-170us EACH inside large programs (round-3 profiling; the
-same ops in small isolated programs take ~2us), putting a multi-ms floor
-under every sweep regardless of chain count. This kernel runs an ENTIRE
-update call — all sweeps of one sampler's GibbsSampler::update(nSteps)
-(reference: AsynchronousGibbsSampler.h:89-121) — as one pallas_call with
-every table VMEM-resident, so each random access is a small one-hot
-matmul on the MXU instead of a serialized gather.
+gathers at ~100-170us EACH inside large programs (round-3 profiling),
+putting a multi-ms floor under every sweep regardless of chain count.
+This kernel runs an ENTIRE update call — all sweeps of one sampler's
+GibbsSampler::update(nSteps) (reference: AsynchronousGibbsSampler.h:
+89-121) — as one pallas_call with every table VMEM-resident.
+
+Round-4 redesign — chains fused into every op (not python-unrolled):
+the round-3 kernel unrolled chains as separate instruction DAGs, which
+Mosaic does NOT interleave (measured flat, PERF_NOTES.md). Instead,
+every per-lane tensor now carries a leading chain axis (NCH, B): the
+VPU processes (8, 128) vregs natively, so widening a (1, B) row to
+(NCH, B) costs nothing, and every table op becomes ONE batched
+dot_general over per-chain planes instead of NCH serial ops.
 
 Design rules (shaped by Mosaic's TPU lowering constraints — no scatter
-primitive, gathers limited to single-vreg shuffles, no lane<->sublane
-reshapes, no cumsum/sort, no jnp.where on BOOLEAN values — use |/& —
-and iota must be integer-typed):
+primitive, no cumsum/sort, no jnp.where on BOOLEAN values — use |/& —
+and iota must be integer-typed), all verified on-device
+(tools/probe_mosaic5.py):
 
-  * every per-lane quantity is a (1, B) row vector; ALL arithmetic is
-    float32, including indices and counters (exact below 2^24), so no
-    integer division or int matmuls are needed;
-  * one-hot selectors are built sublane-major — OH[t, i] = (t == idx_i)
-    from broadcasted_iota — making every table access a pair of MXU
-    matmuls: gather v = ones @ ((t2 .0@0. OHH) * OHL); write
-    t2' = t2*(1-hit) + sums with hit/sums = OHH .1@1. OHL contractions;
-  * inclusive prefix sums over lanes are (1, B) @ triangular matmuls;
-  * factor tables M, Y, SQ are stored transposed as (kp, NRp) planes;
-    per-proposal values come from (kp, NRp) @ (NRp, B) one-hot products;
+  * per-lane quantities are (NCH, B) float32; per-chain scalars are
+    (NCH, 1) and broadcast;
+  * EXACT f32 transport through the MXU uses a 3-way bf16 split of the
+    value operand against a bf16 one-hot: f32 = hi + mid + lo with each
+    part bf16-exact, so three single-pass bf16 matmuls reproduce the
+    f32 gather/scatter bit-exactly at half the cost of a HIGHEST
+    (bf16x6) f32 matmul;
+  * conflict resolution is a match-matrix: cnt[i] = #earlier (or
+    #other) active lanes touching lane i's rows/atoms, computed as
+    (NCH, B, B) broadcast-compares reduced over the sublane axis —
+    no capacity-sized tables, no scatter-min (which hangs this
+    backend's compiler);
+  * table rows for a batch of proposals are fetched by ONE stacked
+    transport matmul per row-stream: [SQ | Y | M | invS2] (NR, 3k+m)
+    against the (NR, B) one-hot, so s, s_mu, the old matrix value and
+    the uncertainty row arrive together;
   * the pair term x and the Y-row updates are recomputed from the
     gathered invS2 row and frozen partner columns (models/dense.py:
-    Z[r, c, c'] = sum_m o_mc o_mc' invS2[r, m]) — m lives in a
-    16-sublane plane, so the recompute is a (mp, NRp) x (NRp, B) matmul
-    instead of an n_bins*k-sized table walk;
+    Z[r, c, c'] = sum_m o_mc o_mc' invS2[r, m]);
   * proposal semantics are IDENTICAL to ops/sweep.py (same pre-drawn
     threefry uniforms, same type/selection/accept formulas, same
-    first-wins-rows + uncontested-atoms conflict rule, same
+    first-wins-rows + first-wins/uncontested-atoms conflict rule, same
     compact-table swap-with-back compaction), so the XLA sweep is this
     kernel's differential oracle (tests/test_pallas_sweep.py runs the
     kernel in interpret mode against it).
@@ -48,16 +58,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from ..ops import rng as gaps_rng
 from ..ops.atoms import AtomTable
-from ..ops.sweep import MassParams, SamplerConsts, SweepCounts
+from ..ops.sweep import (MassParams, SamplerConsts, SweepCounts,
+                         atoms_first_wins)
 
 LANE = 128
 F32 = jnp.float32
-# JAX's default matmul precision is bfloat16-class even for f32 operands,
-# which silently rounds the integers (indices, counts, lane ranks) and
-# f32 table values this formulation moves through matmuls. HIGH runs
-# bf16x3 passes on the MXU — 24 mantissa bits, exact for f32 operands —
-# at half the cost of HIGHEST (bf16x6, ~f64-class) — but Mosaic only
-# lowers DEFAULT and HIGHEST, so HIGHEST it is.
+BF16 = jnp.bfloat16
+# Mosaic lowers only DEFAULT (single-pass bf16) and HIGHEST (bf16x6).
+# DEFAULT is exact for 0/1 masks and integer sums <= 256; HIGHEST for
+# larger integer ranks. Exact f32 VALUE transport uses _split3 + bf16
+# matmuls instead of HIGHEST (3 passes instead of 6).
 _PREC = jax.lax.Precision.HIGHEST
 EPS = float(gaps_rng.EPSILON)
 _SQRT2 = 1.4142135623730951
@@ -77,7 +87,7 @@ def _erf(x):
 
 
 def _erfinv(x):
-    # Giles (2010) single-precision branchless-ish rational approximation
+    # Giles (2010) single-precision rational approximation
     xc = jnp.clip(x, -0.9999999, 0.9999999)
     w = -jnp.log((1.0 - xc) * (1.0 + xc))
     ws = w - 2.5
@@ -115,72 +125,92 @@ def _rup(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _iota0(n, m):
-    # tpu.iota only produces integers; cast for the all-f32 arithmetic
-    return jax.lax.broadcasted_iota(jnp.int32, (n, m), 0).astype(F32)
+def _split3(x):
+    """Exact 3-way bf16 decomposition: x == hi + mid + lo with every
+    part bf16 (8 mantissa bits each covers f32's 24; the residuals are
+    exactly representable — Sterbenz)."""
+    hi = x.astype(BF16)
+    r1 = x - hi.astype(F32)
+    mid = r1.astype(BF16)
+    lo = (r1 - mid.astype(F32)).astype(BF16)
+    return hi, mid, lo
 
 
-def _lane_iota(B):
-    return jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(F32)
+def _bdot(a, b, ca, cb, prec=None):
+    """Batched dot over the leading chain axis; contract dims (ca, cb)."""
+    kw = {} if prec is None else {"precision": prec}
+    return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((0,), (0,))),
+                               preferred_element_type=F32, **kw)
 
 
-def _dot0(a, b):
-    """Contract dim 0 of both operands: (T, X) .0@0. (T, B) -> (X, B)."""
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=F32,
-                               precision=_PREC)
-
-
-def _dot1(a, b):
-    """Contract dim 1 of both operands: (X, B) .1@1. (Y, B) -> (X, Y)."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=F32,
-                               precision=_PREC)
+def _tdot(val_f32, oh_bf16, ca, cb):
+    """Exact f32 transport matmul: split3(val) against a 0/1 bf16
+    one-hot — three single-pass bf16 matmuls, bit-exact."""
+    out = None
+    for part in _split3(val_f32):
+        d = _bdot(part, oh_bf16, ca, cb)
+        out = d if out is None else out + d
+    return out
 
 
 def _mm(a, b):
     return jnp.dot(a, b, preferred_element_type=F32, precision=_PREC)
 
 
-def _dot1_fast(a, b):
-    """Count-only contraction: products are 0/1 and sums are <= B, so
-    DEFAULT (single-pass bf16) precision is exact for B <= 256."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=F32)
-
-
 def _mm_fast(a, b):
     return jnp.dot(a, b, preferred_element_type=F32)
 
 
-class _Tbl:
-    """One-hot access to a (T/128, 128)-tiled flat table by (1, B) f32
-    indices. `valid` masks lanes for writes/counts."""
+class _BT:
+    """Batched one-hot access to per-chain flat tables stored as
+    (NCH, T/128, 128). `idx` is (NCH, B) f32; `valid` masks lanes."""
 
-    def __init__(self, idx_row, T: int, valid=None):
-        B = idx_row.shape[1]
-        hi = jnp.floor(idx_row / LANE)
-        lo = idx_row - hi * LANE
-        self.ohh = (_iota0(T // LANE, B) == hi).astype(F32)
-        ohl = (_iota0(LANE, B) == lo).astype(F32)
+    def __init__(self, idx, T: int, valid=None):
+        NCH, B = idx.shape
+        hi = jnp.floor(idx / LANE)
+        lo = idx - hi * LANE
+        ih = jax.lax.broadcasted_iota(jnp.int32, (1, T // LANE, B), 1
+                                      ).astype(F32)
+        il = jax.lax.broadcasted_iota(jnp.int32, (1, LANE, B), 1
+                                      ).astype(F32)
+        ohh = (ih == hi[:, None, :]).astype(F32)
+        ohl = (il == lo[:, None, :]).astype(F32)
         if valid is not None:
-            v = valid.astype(F32)
-            self.ohh = self.ohh * v
-            self.ohl = ohl * v
-        else:
-            self.ohl = ohl
+            # the 2D->3D broadcast must stay in f32 (Mosaic rejects
+            # bf16 sublane-unit reshapes); cast after masking
+            v = valid.astype(F32)[:, None, :]
+            ohh = ohh * v
+            ohl = ohl * v
+        self.ohh = ohh.astype(BF16)
+        self.ohl = ohl.astype(BF16)
 
     def gather(self, t2):
-        """(1, B) values; 0 for masked lanes."""
-        W = _dot0(t2, self.ohh)  # (128, B)
-        return _mm(jnp.ones((1, LANE), F32), W * self.ohl)
+        """(NCH, B) values; 0 for masked lanes. Exact."""
+        W = _tdot(t2, self.ohh, 1, 1)  # (NCH, LANE, B)
+        return jnp.sum(W * self.ohl, axis=1)
+
+    def gather2(self, t2a, t2b):
+        """Gather from two stacked tables with one transport matmul."""
+        t2s = jnp.concatenate([t2a, t2b], axis=2)  # (NCH, T/128, 256)
+        W = _tdot(t2s, self.ohh, 1, 1)  # (NCH, 256, B)
+        va = jnp.sum(W[:, :LANE] * self.ohl, axis=1)
+        vb = jnp.sum(W[:, LANE:] * self.ohl, axis=1)
+        return va, vb
 
     def hit(self):
-        # occupancy counts are small integers: single-pass precision
-        return _dot1_fast(self.ohh, self.ohl)  # (Tc, 128)
+        # occupancy counts: single-pass bf16 products of 0/1 masks;
+        # per-slot counts from conflict-free writes are <= 1 (exact)
+        return _bdot(self.ohh, self.ohl, 2, 2)  # (NCH, Tc, LANE)
 
     def sums(self, vals):
-        return _dot1(self.ohh * vals, self.ohl)
+        out = None
+        for part in _split3(vals):
+            # broadcast in f32 (bf16 sublane-unit reshapes are
+            # rejected), cast back for the single-pass matmul — exact
+            p3 = part.astype(F32)[:, None, :].astype(BF16)
+            d = _bdot(self.ohh * p3, self.ohl, 2, 2)
+            out = d if out is None else out + d
+        return out
 
     def set(self, t2, vals):
         return t2 * (1.0 - self.hit()) + self.sums(vals)
@@ -208,27 +238,81 @@ def _gibbs_mass(u, s, s_mu, a, b, lam=None):
     return val, ok & (s > F32(EPS))
 
 
-def _sweep_once(consts: SamplerConsts, uni, tri, state,
-                temp, n_steps_f, lam, mgm, SQ, invS2, other, colnz):
-    """One sweep on (1, B) lanes. `state` = (mass2, elem2, M, Y, n_f,
-    done_f, c0..c8); mirrors ops/sweep.py `sweep`. All factor/data arrays
-    keep their raw shapes — M/Y/SQ (NR, k), invS2 (NR, m), other (m, k) —
-    with matmul orientation handled by dot_general contraction dims
-    (Mosaic pads to tiles internally)."""
+# ----------------------------------------------------------------------
+# Slab-major row tables. Every (NR, k) factor-side table is stored as
+# (NCH, 128, RH*k) with element [rl, rh*k + c] = tbl[rh*128 + rl, c]
+# (rows padded to NRp = RH*128). A row gather/scatter then contracts
+# over 128 sublane slots instead of NR lanes, and the rh*k+c selection
+# is a cheap small-axis masked reduce — no (NCH, NR, B) one-hots exist
+# anywhere. invS2 uses the j-major variant [rl, j*RH + rh] so each of
+# the m uncertainty-row components is a contiguous RH-slice.
+# ----------------------------------------------------------------------
+def slab_shape(NR: int, k: int):
+    RH = _rup(NR, LANE) // LANE
+    return RH, RH * k
+
+
+def to_slab(X, NR=None):
+    """(NCH, NR, k) -> (NCH, 128, RH*k), zero row padding. XLA-side."""
+    NCH, NR_, k = X.shape
+    RH, Q = slab_shape(NR_, k)
+    Xp = jnp.pad(X, ((0, 0), (0, RH * LANE - NR_), (0, 0)))
+    return Xp.reshape(NCH, RH, LANE, k).transpose(0, 2, 1, 3).reshape(
+        NCH, LANE, Q)
+
+
+def from_slab(X2, NR: int, k: int):
+    """Inverse of to_slab. XLA-side."""
+    NCH = X2.shape[0]
+    RH, _ = slab_shape(NR, k)
+    X = X2.reshape(NCH, LANE, RH, k).transpose(0, 2, 1, 3).reshape(
+        NCH, RH * LANE, k)
+    return X[:, :NR]
+
+
+def to_slab_jmajor(X, NR=None):
+    """(NCH, NR, m) -> (NCH, 128, m*RH), j-major. XLA-side."""
+    NCH, NR_, m = X.shape
+    RH, _ = slab_shape(NR_, m)
+    Xp = jnp.pad(X, ((0, 0), (0, RH * LANE - NR_), (0, 0)))
+    return Xp.reshape(NCH, RH, LANE, m).transpose(0, 2, 3, 1).reshape(
+        NCH, LANE, m * RH)
+
+
+class _Phase:
+    """Per-update-call constants living in VMEM for the sweep loop:
+    pre-split static slab tables (SQ, invS2) and the frozen partner."""
+
+    def __init__(self, SQ2, W2, other):
+        self.SQ_parts = _split3(SQ2)  # 3 x (NCH, 128, Q) bf16
+        self.W_parts = _split3(W2)  # 3 x (NCH, 128, m*RH) bf16
+        self.other = other  # (NCH, m, k) f32
+        # canUseGibbs per column (DenseNormalModel.cpp:100-103)
+        self.colnz = (jnp.max(other, axis=1) > 0.0
+                      ).astype(F32)[:, :, None]  # (NCH, k, 1)
+
+
+def _sweep_b(consts: SamplerConsts, uni, tri, state,
+             temp, n_steps_f, lam, mgm, phase: _Phase):
+    """One batched sweep over (NCH, B) lanes for NCH independent
+    chains. `state` = (mass2, elem2, M, Y, n_f, done_f, c0..c8) with
+    per-chain scalars shaped (NCH, 1). Mirrors ops/sweep.sweep exactly
+    per chain (the differential oracle)."""
     (mass2, elem2f, M, Y, n_f, done_f, *cs) = state
+    NCH = n_f.shape[0]
     NR = consts.n_rows
     B = consts.batch
     C = consts.capacity
     K = consts.k
     NB = consts.n_bins
 
-    u1, u2, u_gibbs, u_exp, u_acc = (uni[j:j + 1] for j in range(5))
-    ui0, ui1, ui2, ui3 = (uni[5 + j:6 + j] for j in range(4))
-    mm_rank = _mm_fast if B <= 256 else _mm  # exactness bound for bf16
+    u1, u2, u_gibbs, u_exp, u_acc = (uni[j] for j in range(5))
+    ui0, ui1, ui2, ui3 = (uni[5 + j] for j in range(4))
+    mm_rank = _mm_fast if B <= 256 else _mm  # bf16 exactness bound
 
-    lane = _lane_iota(B)
-    remaining = n_steps_f - done_f
-    active = lane < jnp.minimum(remaining, float(B))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(F32)
+    remaining = n_steps_f - done_f  # (NCH, 1)
+    active = lane < jnp.minimum(remaining, float(B))  # (NCH, B)
 
     small = n_f < 2.0
     numer = n_f * consts.domain_length
@@ -250,16 +334,14 @@ def _sweep_once(consts: SamplerConsts, uni, tri, state,
     e_birth = jnp.minimum(jnp.floor(ui2 * NB), float(NB - 1))
     e_move = jnp.minimum(jnp.floor(ui3 * NB), float(NB - 1))
 
-    t_a1 = _Tbl(a1c, C)
-    t_a2 = _Tbl(a2c, C)
-    elem_a1 = t_a1.gather(elem2f)
-    elem_a2 = t_a2.gather(elem2f)
-    m1 = jnp.where(is_birth, 0.0, t_a1.gather(mass2))
-    m2 = t_a2.gather(mass2)
+    t_a1 = _BT(a1c, C)
+    t_a2 = _BT(a2c, C)
+    elem_a1, m1g = t_a1.gather2(elem2f, mass2)
+    elem_a2, m2 = t_a2.gather2(elem2f, mass2)
+    m1 = jnp.where(is_birth, 0.0, m1g)
     elem1 = jnp.where(is_birth, e_birth, jnp.maximum(elem_a1, 0.0))
     elem2_ = jnp.where(is_move, e_move, jnp.maximum(elem_a2, 0.0))
-    # float division by k is exactly floor-safe for e < 2^24 (quotient
-    # error < 1 ulp never crosses an integer)
+    # float division by k is exactly floor-safe for e < 2^24
     r1 = jnp.floor(elem1 / K)
     c1 = elem1 - r1 * K
     r2 = jnp.floor(elem2_ / K)
@@ -267,46 +349,36 @@ def _sweep_once(consts: SamplerConsts, uni, tri, state,
     uses2 = is_move | is_exch
     uses_a1 = is_death | is_move | is_exch
 
-    # ---- conflict: first-wins rows + uncontested atoms (ops/sweep._keep)
-    big = F32(float(B))
-    lane_f = jnp.where(active, lane, big)
-    ohr1 = (_iota0(NR, B) == r1).astype(F32)
-    ohr2 = (_iota0(NR, B) == r2).astype(F32)
-    ohr1m = ohr1 * active.astype(F32)
-    ohr2m = ohr2 * (active & uses2).astype(F32)
-    lmin1 = jnp.min(jnp.where(ohr1m > 0, lane_f, big), axis=1,
-                    keepdims=True)
-    lmin2 = jnp.min(jnp.where(ohr2m > 0, lane_f, big), axis=1,
-                    keepdims=True)
-    rmin = jnp.minimum(lmin1, lmin2)  # (NR, 1)
-    back1 = _dot0(rmin, ohr1m)  # (1, B); 0 where lane inactive
-    back2 = _dot0(rmin, ohr2m)
-    # active lanes always have ohr1m column sum 1, so back1 == rmin[r1]
-    keep = active & (back1 >= lane_f)
-    keep &= ~uses2 | (back2 >= lane_f)
+    # ---- conflict resolution: match-matrix earlier/other-lane tests.
+    # Identical keep set to ops/sweep._keep: rows exact first-wins;
+    # atoms first-wins (small samplers) or uncontested-only (large).
+    # Claiming lanes are encoded by SENTINEL values (inactive streams
+    # hold negative sentinels that match no real index), so the 3-D
+    # work is pure bool compare/AND/OR + one max-reduce per test — no
+    # (B, B) float arithmetic at all.
+    def blocked(v1m, v2m, q, mask3):
+        """Does any masked lane j claim (via either stream) lane i's
+        value q? v*m are sentinel-masked j-side values, (NCH, B)."""
+        c = ((v1m[:, :, None] == q[:, None, :])
+             | (v2m[:, :, None] == q[:, None, :])) & mask3
+        return jnp.max(c.astype(F32), axis=1) > 0.0
 
-    from ..ops.sweep import atoms_first_wins
-    if atoms_first_wins(consts):
-        # exact first-wins on atoms: masked min-lane over the (C, B)
-        # one-hot (affordable for the tiny P sampler)
-        iota_c = _iota0(C, B)
-        oha1 = ((iota_c == a1c) & active & uses_a1).astype(F32)
-        oha2 = ((iota_c == a2c) & active & is_exch).astype(F32)
-        am1 = jnp.min(jnp.where(oha1 > 0, lane_f, big), axis=1,
-                      keepdims=True)
-        am2 = jnp.min(jnp.where(oha2 > 0, lane_f, big), axis=1,
-                      keepdims=True)
-        amin = jnp.minimum(am1, am2)  # (C, 1)
-        aback1 = _dot0(amin, oha1)
-        aback2 = _dot0(amin, oha2)
-        keep &= ~uses_a1 | (aback1 >= lane_f)
-        keep &= ~is_exch | (aback2 >= lane_f)
-    else:
-        ta1m = _Tbl(a1c, C, active & uses_a1)
-        ta2m = _Tbl(a2c, C, active & is_exch)
-        acnt = ta1m.hit() + ta2m.hit()
-        keep &= ~uses_a1 | (t_a1.gather(acnt) <= 1.0)
-        keep &= ~is_exch | (t_a2.gather(acnt) <= 1.0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, B, B), 1)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (1, B, B), 2)
+    earlier = iota_j < iota_i
+    other_l = iota_j != iota_i
+
+    r1m = jnp.where(active, r1, -1.0)
+    r2m = jnp.where(active & uses2, r2, -3.0)
+    keep = active & ~blocked(r1m, r2m, r1, earlier)
+    keep &= ~uses2 | ~blocked(r1m, r2m, r2, earlier)
+
+    a1m = jnp.where(active & uses_a1, a1c, -1.0)
+    a2m = jnp.where(active & is_exch, a2c, -3.0)
+    # first-wins: earlier lanes block; uncontested: any OTHER lane blocks
+    amask = earlier if atoms_first_wins(consts) else other_l
+    keep &= ~uses_a1 | ~blocked(a1m, a2m, a1c, amask)
+    keep &= ~is_exch | ~blocked(a1m, a2m, a2c, amask)
 
     # capacity guard + budget truncation (inclusive prefix via tri)
     pre_birth_rank = mm_rank((keep & is_birth).astype(F32), tri)
@@ -319,32 +391,71 @@ def _sweep_once(consts: SamplerConsts, uni, tri, state,
     is_move &= keep
     is_exch &= keep
 
-    # ---- alpha parameters from VMEM tables ----
-    K_ = consts.k
+    # ---- alpha parameters: one stacked slab transport for BOTH
+    # row-streams (lanes concatenated), then cheap q-selections ----
+    RH, Q = slab_shape(NR, K)
     m_ = consts.m
-    ohc1 = (_iota0(K_, B) == c1).astype(F32)
-    ohc2 = (_iota0(K_, B) == c2).astype(F32)
-    ones_k = jnp.ones((1, K_), F32)
-    ones_m = jnp.ones((1, m_), F32)
+    rh1 = jnp.floor(r1 / LANE)
+    rl1 = r1 - rh1 * LANE
+    rh2 = jnp.floor(r2 / LANE)
+    rl2 = r2 - rh2 * LANE
+    il = jax.lax.broadcasted_iota(jnp.int32, (1, LANE, 2 * B), 1
+                                  ).astype(F32)
+    rl_cat = jnp.concatenate([rl1, rl2], axis=1)  # (NCH, 2B)
+    ohrl_cat = (il == rl_cat[:, None, :]).astype(BF16)
 
-    def pg(tbl, ohr, ohc):  # tbl (NR, k): value[i] = tbl[r_i, c_i]
-        return _mm(ones_k, _dot0(tbl, ohr) * ohc)
+    Y_parts = _split3(Y)
+    M_parts = _split3(M)
+    A = None
+    for sq_p, w_p, y_p, m_p in zip(phase.SQ_parts, phase.W_parts,
+                                   Y_parts, M_parts):
+        stack = jnp.concatenate([sq_p, y_p, m_p, w_p], axis=2)
+        d = _bdot(stack, ohrl_cat, 1, 1)  # (NCH, 3Q+m*RH, 2B)
+        A = d if A is None else A + d
+    A1, A2 = A[:, :, :B], A[:, :, B:]
 
-    s1 = pg(SQ, ohr1, ohc1)
-    s2 = pg(SQ, ohr2, ohc2)
-    smu1 = pg(Y, ohr1, ohc1)
-    smu2 = pg(Y, ohr2, ohc2)
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (1, Q, B), 1
+                                      ).astype(F32)
+    q1 = rh1 * K + c1
+    q2 = rh2 * K + c2
+    ohq1 = (iota_q == q1[:, None, :]).astype(F32)
+    ohq2 = (iota_q == q2[:, None, :]).astype(F32)
+    iota_rh = jax.lax.broadcasted_iota(jnp.int32, (1, RH, B), 1
+                                       ).astype(F32)
+    ohrh1 = (iota_rh == rh1[:, None, :]).astype(F32)
+    ohrh2 = (iota_rh == rh2[:, None, :]).astype(F32)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, K, B), 1
+                                      ).astype(F32)
+    ohc1 = (iota_k == c1[:, None, :]).astype(F32)
+    ohc2 = (iota_k == c2[:, None, :]).astype(F32)
 
-    W1 = _dot0(invS2, ohr1)  # (m, B) invS2 row per lane
-    o1 = _mm(other, ohc1)  # (m, B) frozen partner column per lane
-    o2 = _mm(other, ohc2)
-    x = _mm(ones_m, o1 * o2 * W1)
+    def sel(As, lo, ohq_):
+        return jnp.sum(As[:, lo:lo + Q] * ohq_, axis=1)
+
+    def wrow(As, ohrh_):
+        # invS2 row components: j-major contiguous RH slices
+        return jnp.concatenate(
+            [jnp.sum(As[:, 3 * Q + j * RH:3 * Q + (j + 1) * RH] * ohrh_,
+                     axis=1)[:, None, :] for j in range(m_)], axis=1)
+
+    s1 = sel(A1, 0, ohq1)
+    smu1 = sel(A1, Q, ohq1)
+    old1 = sel(A1, 2 * Q, ohq1)
+    W1 = wrow(A1, ohrh1)  # (NCH, m, B)
+    s2 = sel(A2, 0, ohq2)
+    smu2 = sel(A2, Q, ohq2)
+    old2 = sel(A2, 2 * Q, ohq2)
+    W2 = wrow(A2, ohrh2)
+
+    o1 = _bdot(phase.other, ohc1, 2, 1, _PREC)  # (NCH, m, B)
+    o2 = _bdot(phase.other, ohc2, 2, 1, _PREC)
+    x = jnp.sum(o1 * o2 * W1, axis=1)
     same_row = (r1 == r2).astype(F32)
     s_pair = s1 + s2 - 2.0 * x * same_row
     smu_pair = smu1 - smu2
 
-    can1 = _mm(colnz, ohc1) > 0.5
-    can2 = _mm(colnz, ohc2) > 0.5
+    can1 = jnp.sum(phase.colnz * ohc1, axis=1) > 0.5
+    can2 = jnp.sum(phase.colnz * ohc2, axis=1) > 0.5
     log_u = jnp.log(jnp.maximum(u_acc, F32(1e-37)))
     # dense-model noise floors are 0 (models/dense.py AlphaBatch)
     rel1 = jnp.abs(smu1) > 0.0
@@ -393,18 +504,36 @@ def _sweep_once(consts: SamplerConsts, uni, tri, state,
     d2 = jnp.where(ex_acc, nm2 - m2, d2)
     v2m = move_acc | ex_acc
 
-    for rr, dd, vm, ohr, ohc, oS, W_r0 in (
-            (r1, d1, v1m, ohr1, ohc1, o1, W1),
-            (r2, d2, v2m, ohr2, ohc2, o2, None)):
-        old = pg(M, ohr, ohc)
+    # all used rows are distinct across lanes AND streams (conflict
+    # rule), so both streams can read pre-sweep rows and their scatters
+    # commute; a same-lane same-row pair touches two different columns
+    # (same-element proposals never apply). Per stream the write vector
+    # over the rh-block is dM = actual at column c and dY = -actual *
+    # zrow at all k columns; both streams' scatters run as ONE
+    # lane-concatenated transport contraction.
+    ohrhK1 = (jnp.floor(iota_q / K) == rh1[:, None, :]).astype(F32)
+    ohrhK2 = (jnp.floor(iota_q / K) == rh2[:, None, :]).astype(F32)
+    valqs = []
+    for dd, vm, old, ohc, ohrhK, oS, W_r in (
+            (d1, v1m, old1, ohc1, ohrhK1, o1, W1),
+            (d2, v2m, old2, ohc2, ohrhK2, o2, W2)):
         actual = jnp.where(vm, jnp.maximum(old + dd, 0.0) - old, 0.0)
-        # M[r, c] += actual where (r_i, c_i) hit: (NR, k) outer sums
-        M = M + _dot1(ohr * actual, ohc)
-        # Y[r, c'] -= actual * Z[r, c, c'] with the Z row recomputed:
-        # zrow[c', i] = sum_m other[m, c'] o_c[m] invS2[r, m]
-        W_r = W_r0 if W_r0 is not None else _dot0(invS2, ohr)
-        zrow = _dot0(other, oS * W_r)  # (k, B)
-        Y = Y - _dot1(ohr * actual, zrow)
+        zrow = _bdot(phase.other, oS * W_r, 1, 1, _PREC)  # (NCH, k, B)
+        val_m = ohc * actual[:, None, :]  # (NCH, K, B)
+        val_y = -zrow * actual[:, None, :]
+        tiled = jnp.concatenate(
+            [jnp.concatenate([val_m] * RH, axis=1),
+             jnp.concatenate([val_y] * RH, axis=1)], axis=1)  # (NCH,2Q,B)
+        valqs.append(tiled * jnp.concatenate([ohrhK, ohrhK], axis=1))
+    valq_cat = jnp.concatenate(valqs, axis=2)  # (NCH, 2Q, 2B)
+    dT = None
+    for part in _split3(valq_cat):
+        d = jax.lax.dot_general(
+            ohrl_cat, part, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=F32)  # (NCH, 128, 2Q)
+        dT = d if dT is None else dT + d
+    M = M + dT[:, :, :Q]
+    Y = Y + dT[:, :, Q:]
 
     # ---- atom table writes + swap-with-back compaction ----
     write_a1 = death_kill | death_rebirth | move_acc | ex_acc
@@ -417,90 +546,190 @@ def _sweep_once(consts: SamplerConsts, uni, tri, state,
     birth_rank = mm_rank(birth_acc.astype(F32), tri)
     bslot = n_f + birth_rank - 1.0  # < C by the capacity guard
 
-    twa = _Tbl(a1c, C, write_a1)
-    twx = _Tbl(a2c, C, ex_acc)
-    twb = _Tbl(jnp.where(birth_acc, bslot, 0.0), C, birth_acc)
+    twa = _BT(a1c, C, write_a1)
+    twx = _BT(a2c, C, ex_acc)
+    twb = _BT(jnp.where(birth_acc, bslot, 0.0), C, birth_acc)
     mass2 = twa.set(mass2, mass_v1)
     mass2 = twx.set(mass2, nm2)
     mass2 = twb.set(mass2, b_mass)
     elem2f = twa.set(elem2f, elem_v1)
     elem2f = twb.set(elem2f, e_birth)
 
-    n_b = jnp.sum(birth_acc.astype(F32))
-    n_d = jnp.sum(death_kill.astype(F32))
+    n_b = jnp.sum(birth_acc.astype(F32), axis=1, keepdims=True)
+    n_d = jnp.sum(death_kill.astype(F32), axis=1, keepdims=True)
     top = n_f + n_b
     n_new = top - n_d
 
-    hole_tab = _Tbl(a1c, C, death_kill).hit()
+    hole_tab = _BT(a1c, C, death_kill).hit()
     t_slot = jnp.minimum(n_new + lane, float(C - 1))
     t_valid = lane < n_d
-    t_is_hole = _Tbl(t_slot, C).gather(hole_tab) > 0.5
+    t_is_hole = _BT(t_slot, C).gather(hole_tab) > 0.5
     t_filler = t_valid & ~t_is_hole
     f_rank = mm_rank(t_filler.astype(F32), tri)
     hole = death_kill & (a1c < n_new)
     h_rank = mm_rank(hole.astype(F32), tri)
     Bp = _rup(B + 2, LANE)
-    rank_to_src = _Tbl(jnp.minimum(f_rank, Bp - 1.0), Bp, t_filler).set(
-        jnp.zeros((Bp // LANE, LANE), F32), t_slot)
-    src = _Tbl(jnp.minimum(h_rank, Bp - 1.0), Bp).gather(rank_to_src)
-    tsrc = _Tbl(jnp.minimum(src, float(C - 1)), C)
-    fill_elem = tsrc.gather(elem2f)
-    fill_mass = tsrc.gather(mass2)
-    thw = _Tbl(a1c, C, hole)
+    NCH_ = n_f.shape[0]
+    rank_to_src = _BT(jnp.minimum(f_rank, Bp - 1.0), Bp, t_filler).set(
+        jnp.zeros((NCH_, Bp // LANE, LANE), F32), t_slot)
+    src = _BT(jnp.minimum(h_rank, Bp - 1.0), Bp).gather(rank_to_src)
+    tsrc = _BT(jnp.minimum(src, float(C - 1)), C)
+    fill_elem, fill_mass = tsrc.gather2(elem2f, mass2)
+    thw = _BT(a1c, C, hole)
     elem2f = thw.set(elem2f, fill_elem)
     mass2 = thw.set(mass2, fill_mass)
-    ttc = _Tbl(t_slot, C, t_valid)
-    elem2f = ttc.set(elem2f, jnp.full((1, B), -1.0, F32))
-    mass2 = ttc.set(mass2, jnp.zeros((1, B), F32))
+    ttc = _BT(t_slot, C, t_valid)
+    elem2f = ttc.set(elem2f, jnp.full(t_slot.shape, -1.0, F32))
+    mass2 = ttc.set(mass2, jnp.zeros(t_slot.shape, F32))
 
-    n_processed = jnp.sum(keep.astype(F32))
-    sums = [jnp.sum(m.astype(F32)) for m in
+    n_processed = jnp.sum(keep.astype(F32), axis=1, keepdims=True)
+    sums = [jnp.sum(m.astype(F32), axis=1, keepdims=True) for m in
             (is_birth, is_death, is_move, is_exch, birth_acc,
              death_kill | death_rebirth, move_acc, ex_acc)]
     new_cs = [cs[0] + 1.0] + [c + s for c, s in zip(cs[1:], sums)]
     return (mass2, elem2f, M, Y, n_new, done_f + n_processed, *new_cs)
 
 
-def _kernel(consts, s_max,
-            uni_ref, mass_ref, elem_ref, M_ref, Y_ref, SQ_ref,
-            invS2_ref, other_ref, scal_ref,
-            omass_ref, oelem_ref, oM_ref, oY_ref, ocnt_ref):
+def _tri(B):
+    return (jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+            ).astype(F32)
+
+
+def _kernel_b(consts, s_max, NCH,
+              uni_ref, mass_ref, elem_ref, M_ref, Y_ref, SQ_ref,
+              invS2_ref, other_ref, scal_ref,
+              omass_ref, oelem_ref, oM_ref, oY_ref, ocnt_ref):
+    """NCH chains' update calls fused into every op of one sweep loop."""
     B = consts.batch
 
-    n0 = scal_ref[0]
-    n_steps_f = scal_ref[1]
-    temp = scal_ref[2]
-    lam = scal_ref[3]
-    mgm = scal_ref[4]
+    tri = _tri(B)
+    phase = _Phase(SQ_ref[:], invS2_ref[:], other_ref[:])
 
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-           <= jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)).astype(F32)
-    other = other_ref[:]
-    colnz = (jnp.max(other, axis=0, keepdims=True) > 0.0).astype(F32)
+    n0 = scal_ref[:, 0:1]
+    n_steps_f = scal_ref[:, 1:2]
+    temp = scal_ref[:, 2:3]
+    lam = scal_ref[:, 3:4]
+    mgm = scal_ref[:, 4:5]
 
     def body(s, carry):
         def do(c):
-            uni = uni_ref[pl.ds(s * 16, 16), :]
-            return _sweep_once(consts, uni, tri, c, temp, n_steps_f, lam,
-                               mgm, SQ_ref[:], invS2_ref[:], other,
-                               colnz)
+            uni = uni_ref[pl.ds(s * 16, 16)]  # (16, NCH, B)
+            return _sweep_b(consts, uni, tri, c, temp,
+                            n_steps_f, lam, mgm, phase)
 
         done_f = carry[5]
-        return jax.lax.cond(done_f < n_steps_f, do, lambda c: c, carry)
+        left = jnp.sum(jnp.maximum(n_steps_f - done_f, 0.0))
+        return jax.lax.cond(left > 0.0, do, lambda c: c, carry)
 
-    zero = F32(0.0)
+    z = jnp.zeros((NCH, 1), F32)
     init = (mass_ref[:], elem_ref[:], M_ref[:], Y_ref[:],
-            n0, zero, zero, zero, zero, zero, zero, zero, zero, zero,
-            zero)
+            n0, z, z, z, z, z, z, z, z, z, z)
     out = jax.lax.fori_loop(0, s_max, body, init)
     (mass2, elem2f, M, Y, n_f, done_f, *cs) = out
     omass_ref[:] = mass2
     oelem_ref[:] = elem2f
     oM_ref[:] = M
     oY_ref[:] = Y
-    vals = [n_f, done_f] + list(cs)
-    for j, v in enumerate(vals):
-        ocnt_ref[j] = v
+    cnt = jnp.concatenate([n_f, done_f] + list(cs)
+                          + [jnp.zeros((NCH, 5), F32)], axis=1)
+    ocnt_ref[:] = cnt
+
+
+def _call_kernel(uni, atoms: AtomTable, M, Y, SQ, invS2, other_M, scal,
+                 consts: SamplerConsts, s_max: int, interpret: bool):
+    """Invoke the batched kernel; all per-chain arrays carry a leading
+    NCH axis. `uni` is (s_max*16, NCH, B). Row tables are converted to
+    slab-major form for the kernel and back on the way out."""
+    NCH = M.shape[0]
+    C = consts.capacity
+    NR = consts.n_rows
+    K = consts.k
+    RH, Q = slab_shape(NR, K)
+
+    mass2 = atoms.mass.reshape(NCH, C // LANE, LANE)
+    elem2 = atoms.elem.astype(F32).reshape(NCH, C // LANE, LANE)
+
+    kern = functools.partial(_kernel_b, consts, s_max, NCH)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((NCH, C // LANE, LANE), F32),
+        jax.ShapeDtypeStruct((NCH, C // LANE, LANE), F32),
+        jax.ShapeDtypeStruct((NCH, LANE, Q), F32),
+        jax.ShapeDtypeStruct((NCH, LANE, Q), F32),
+        jax.ShapeDtypeStruct((NCH, 16), F32),
+    )
+    res = pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        in_specs=[vspec] * 9,
+        out_specs=(vspec, vspec, vspec, vspec, vspec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(uni, mass2, elem2, to_slab(M), to_slab(Y), to_slab(SQ),
+      to_slab_jmajor(invS2), other_M, scal)
+    omass, oelem, oM2, oY2, ocnt = res
+    oM = from_slab(oM2, NR, K)
+    oY = from_slab(oY2, NR, K)
+
+    atoms_out = AtomTable(mass=omass.reshape(NCH, C),
+                          elem=oelem.astype(jnp.int32).reshape(NCH, C),
+                          n=ocnt[:, 0].astype(jnp.int32))
+    done = ocnt[:, 1].astype(jnp.int32)
+    n_sweeps = ocnt[:, 2].astype(jnp.int32)
+    counts = SweepCounts(processed=ocnt[:, 3:7].astype(jnp.int32),
+                         accepted=ocnt[:, 7:11].astype(jnp.int32))
+    return atoms_out, oM, oY, done, n_sweeps, counts
+
+
+def _draw_uni(keys, offs, s_max, NCH, B):
+    """Pre-draw the threefry uniform slabs, one (16, B) block per sweep
+    per chain, continuing each chain's global sweep numbering — the
+    exact stream ops/sweep.run_updates consumes."""
+
+    def draw_chain(key, off):
+        ks = jax.vmap(lambda i: jax.random.fold_in(key, off + i))(
+            jnp.arange(s_max))
+        return jax.vmap(lambda k2: jax.random.uniform(k2, (16, B), F32))(
+            ks).reshape(s_max * 16, B)
+
+    uni = jax.vmap(draw_chain)(keys, offs)  # (NCH, s_max*16, B)
+    return jnp.swapaxes(uni, 0, 1)  # (s_max*16, NCH, B)
+
+
+def run_updates_pallas(key, atoms: AtomTable, M, cache, temp, n_steps,
+                       consts: SamplerConsts, mass: MassParams, *,
+                       phase, invS2, other_M, s_max: int = 48,
+                       interpret: bool = False, sweep_offset=None):
+    """Drop-in analog of ops/sweep.run_updates for the dense model on one
+    device (single chain = NCH=1 of the fused kernel). Returns
+    (atoms, M, cache, done, n_sweeps, counts)."""
+    B = consts.batch
+    off = jnp.int32(0) if sweep_offset is None else sweep_offset
+    uni = _draw_uni(key[None], off[None] if off.ndim == 0 else off,
+                    s_max, 1, B)
+
+    scal = jnp.stack([
+        atoms.n.astype(F32),
+        n_steps.astype(F32),
+        jnp.asarray(temp, F32),
+        mass.lam.astype(F32),
+        mass.max_gibbs_mass.astype(F32),
+    ]).reshape(1, 5)
+
+    atoms_b = AtomTable(mass=atoms.mass[None], elem=atoms.elem[None],
+                        n=atoms.n[None])
+    a2, M2, Y2, done, ns, cnt = _call_kernel(
+        uni, atoms_b, M[None], cache.Y[None], phase.SQ[None],
+        invS2[None], other_M[None], scal, consts, s_max, interpret)
+
+    from ..models.dense import DenseCache
+    atoms_out = AtomTable(mass=a2.mass[0], elem=a2.elem[0], n=a2.n[0])
+    counts = SweepCounts(processed=cnt.processed[0],
+                         accepted=cnt.accepted[0])
+    return (atoms_out, M2[0], DenseCache(Y=Y2[0]), done[0], ns[0],
+            counts)
 
 
 def run_updates_pallas_full(key, atoms: AtomTable, M, cache, temp,
@@ -534,125 +763,6 @@ def run_updates_pallas_full(key, atoms: AtomTable, M, cache, temp,
     return atoms, M, cache, done, n_sweeps, cnts
 
 
-def run_updates_pallas(key, atoms: AtomTable, M, cache, temp, n_steps,
-                       consts: SamplerConsts, mass: MassParams, *,
-                       phase, invS2, other_M, s_max: int = 48,
-                       interpret: bool = False, sweep_offset=None):
-    """Drop-in analog of ops/sweep.run_updates for the dense model on one
-    device. Returns (atoms, M, cache, done, n_sweeps, counts)."""
-    B = consts.batch
-    C = consts.capacity
-
-    # pre-draw the identical threefry uniform streams the XLA path uses
-    # (run_updates folds the key by global sweep index; each sweep draws
-    # one (16, B) block — ops/sweep.py)
-    off = jnp.int32(0) if sweep_offset is None else sweep_offset
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, off + i))(
-        jnp.arange(s_max))
-    uni = jax.vmap(lambda k2: jax.random.uniform(k2, (16, B), F32))(keys)
-    uni = uni.reshape(s_max * 16, B)
-
-    mass2 = atoms.mass.reshape(C // LANE, LANE)
-    elem2 = atoms.elem.astype(F32).reshape(C // LANE, LANE)
-
-    SQ = phase.SQ
-    scal = jnp.stack([
-        atoms.n.astype(F32),
-        n_steps.astype(F32),
-        jnp.asarray(temp, F32),
-        mass.lam.astype(F32),
-        mass.max_gibbs_mass.astype(F32),
-    ])
-
-    kern = functools.partial(_kernel, consts, s_max)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    NR = consts.n_rows
-    K = consts.k
-    out_shapes = (
-        jax.ShapeDtypeStruct((C // LANE, LANE), F32),
-        jax.ShapeDtypeStruct((C // LANE, LANE), F32),
-        jax.ShapeDtypeStruct((NR, K), F32),
-        jax.ShapeDtypeStruct((NR, K), F32),
-        jax.ShapeDtypeStruct((16,), F32),
-    )
-    res = pl.pallas_call(
-        kern,
-        out_shape=out_shapes,
-        in_specs=[vspec] * 8 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(vspec, vspec, vspec, vspec,
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(uni, mass2, elem2, M, cache.Y, SQ, invS2, other_M, scal)
-    omass, oelem, oM, oY, ocnt = res
-
-    atoms_out = AtomTable(mass=omass.reshape(C),
-                          elem=oelem.astype(jnp.int32).reshape(C),
-                          n=ocnt[0].astype(jnp.int32))
-    from ..models.dense import DenseCache
-    done = ocnt[1].astype(jnp.int32)
-    n_sweeps = ocnt[2].astype(jnp.int32)
-    counts = SweepCounts(processed=ocnt[3:7].astype(jnp.int32),
-                         accepted=ocnt[7:11].astype(jnp.int32))
-    return atoms_out, oM, DenseCache(Y=oY), done, n_sweeps, counts
-
-
-# ----------------------------------------------------------------------
-# multi-chain kernel: NCH chains' update calls interleaved in ONE kernel
-# ----------------------------------------------------------------------
-def _kernel_multi(consts, s_max, NCH,
-                  uni_ref, mass_ref, elem_ref, M_ref, Y_ref, SQ_ref,
-                  invS2_ref, other_ref, scal_ref,
-                  omass_ref, oelem_ref, oM_ref, oY_ref, ocnt_ref):
-    """NCH independent chains, python-unrolled inside each sweep step so
-    Mosaic's scheduler interleaves their (data-independent) instruction
-    DAGs — hiding the per-op latency that dominates a single chain's
-    sweep. One core runs all chains either way; interleaving raises unit
-    utilization instead of parallelism."""
-    B = consts.batch
-
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-           <= jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)).astype(F32)
-    others = [other_ref[ch] for ch in range(NCH)]
-    colnzs = [(jnp.max(o, axis=0, keepdims=True) > 0.0).astype(F32)
-              for o in others]
-
-    def body(s, carry):
-        new = []
-        for ch in range(NCH):
-            st = carry[ch]
-            n_steps_f = scal_ref[ch, 1]
-
-            def do(c, ch=ch):
-                uni = uni_ref[ch, pl.ds(s * 16, 16), :]
-                return _sweep_once(consts, uni, tri, c, scal_ref[ch, 2],
-                                   scal_ref[ch, 1], scal_ref[ch, 3],
-                                   scal_ref[ch, 4], SQ_ref[ch],
-                                   invS2_ref[ch], others[ch], colnzs[ch])
-
-            new.append(jax.lax.cond(st[5] < n_steps_f, do, lambda c: c,
-                                    st))
-        return tuple(new)
-
-    zero = F32(0.0)
-    init = tuple(
-        (mass_ref[ch], elem_ref[ch], M_ref[ch], Y_ref[ch],
-         scal_ref[ch, 0], zero, zero, zero, zero, zero, zero, zero, zero,
-         zero, zero)
-        for ch in range(NCH))
-    out = jax.lax.fori_loop(0, s_max, body, init)
-    for ch in range(NCH):
-        (mass2, elem2f, M, Y, n_f, done_f, *cs) = out[ch]
-        omass_ref[ch] = mass2
-        oelem_ref[ch] = elem2f
-        oM_ref[ch] = M
-        oY_ref[ch] = Y
-        vals = [n_f, done_f] + list(cs)
-        for j, v in enumerate(vals):
-            ocnt_ref[ch, j] = v
-
-
 def run_updates_pallas_multi(keys, atoms: AtomTable, M, cache, temp,
                              n_steps, consts: SamplerConsts,
                              mass: MassParams, *, invS2, other_M,
@@ -660,24 +770,15 @@ def run_updates_pallas_multi(keys, atoms: AtomTable, M, cache, temp,
                              sweep_offsets=None):
     """Batched analog of run_updates_pallas: every array carries a
     leading chain axis; `keys` is (NCH, 2), `n_steps` (NCH,), MassParams
-    fields (NCH,). Returns stacked results."""
+    fields (NCH,). All chains' sweeps run through the SAME fused ops
+    (not python-unrolled per chain). Returns stacked results."""
     NCH = M.shape[0]
     B = consts.batch
-    C = consts.capacity
 
     offs = (jnp.zeros((NCH,), jnp.int32) if sweep_offsets is None
             else sweep_offsets)
+    uni = _draw_uni(keys, offs, s_max, NCH, B)
 
-    def draw_chain(key, off):
-        ks = jax.vmap(lambda i: jax.random.fold_in(key, off + i))(
-            jnp.arange(s_max))
-        return jax.vmap(lambda k2: jax.random.uniform(k2, (16, B), F32))(
-            ks).reshape(s_max * 16, B)
-
-    uni = jax.vmap(draw_chain)(keys, offs)  # (NCH, s_max*16, B)
-
-    mass2 = atoms.mass.reshape(NCH, C // LANE, LANE)
-    elem2 = atoms.elem.astype(F32).reshape(NCH, C // LANE, LANE)
     scal = jnp.stack([
         atoms.n.astype(F32),
         n_steps.astype(F32),
@@ -686,39 +787,12 @@ def run_updates_pallas_multi(keys, atoms: AtomTable, M, cache, temp,
         mass.max_gibbs_mass.astype(F32).reshape(NCH),
     ], axis=1)  # (NCH, 5)
 
-    kern = functools.partial(_kernel_multi, consts, s_max, NCH)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    NR = consts.n_rows
-    K = consts.k
-    out_shapes = (
-        jax.ShapeDtypeStruct((NCH, C // LANE, LANE), F32),
-        jax.ShapeDtypeStruct((NCH, C // LANE, LANE), F32),
-        jax.ShapeDtypeStruct((NCH, NR, K), F32),
-        jax.ShapeDtypeStruct((NCH, NR, K), F32),
-        jax.ShapeDtypeStruct((NCH, 16), F32),
-    )
-    res = pl.pallas_call(
-        kern,
-        out_shape=out_shapes,
-        in_specs=[vspec] * 8 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(vspec, vspec, vspec, vspec,
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(uni, mass2, elem2, M, cache.Y, SQ_batched(cache, invS2, other_M),
-      invS2, other_M, scal)
-    omass, oelem, oM, oY, ocnt = res
-
-    atoms_out = AtomTable(mass=omass.reshape(NCH, C),
-                          elem=oelem.astype(jnp.int32).reshape(NCH, C),
-                          n=ocnt[:, 0].astype(jnp.int32))
+    SQ = SQ_batched(cache, invS2, other_M)
+    a2, M2, Y2, done, ns, cnt = _call_kernel(
+        uni, atoms, M, cache.Y, SQ, invS2, other_M, scal, consts,
+        s_max, interpret)
     from ..models.dense import DenseCache
-    done = ocnt[:, 1].astype(jnp.int32)
-    n_sweeps = ocnt[:, 2].astype(jnp.int32)
-    counts = SweepCounts(processed=ocnt[:, 3:7].astype(jnp.int32),
-                         accepted=ocnt[:, 7:11].astype(jnp.int32))
-    return atoms_out, oM, DenseCache(Y=oY), done, n_sweeps, counts
+    return a2, M2, DenseCache(Y=Y2), done, ns, cnt
 
 
 def SQ_batched(cache, invS2, other_M):

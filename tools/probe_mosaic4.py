@@ -1,0 +1,156 @@
+"""Probe 4: clean marginals with 256-rep in-kernel loops."""
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+PREC = jax.lax.Precision.HIGHEST
+DEF = jax.lax.Precision.DEFAULT
+
+
+def timed(f, *args, reps=10):
+    out = f(*args)
+    jax.device_get(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(*args)
+    jax.device_get(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def probe(name, fn):
+    try:
+        print(f"{name}: {fn()}")
+    except Exception as e:
+        msg = str(e).split("\n")[0][:160]
+        print(f"[FAIL] {name}: {type(e).__name__}: {msg}")
+
+
+def marginal(make, out_shape, *args):
+    ts = []
+    for R in (4, 260):
+        f = jax.jit(lambda *ar, R=R: pl.pallas_call(
+            make(R), out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024))(*ar))
+        ts.append(timed(f, *args))
+    return (ts[1] - ts[0]) / 256
+
+
+def dep(acc):
+    """Cheap un-elidable data dependence: scalar from acc, broadcast."""
+    return jnp.max(acc) * 1e-30
+
+
+def bdot_marg(NCH, T, K, B, prec=PREC):
+    aa = jnp.ones((NCH, T, K), F32)
+    bb = jnp.ones((NCH, T, B), F32)
+
+    def make(R):
+        def k(a_ref, b_ref, o_ref):
+            def body(i, acc):
+                bb2 = b_ref[:] + dep(acc)
+                return acc + jax.lax.dot_general(
+                    a_ref[:], bb2, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=F32, precision=prec)
+            o_ref[:] = jax.lax.fori_loop(
+                0, R, body, jnp.zeros((NCH, K, B), F32))
+        return k
+
+    t = marginal(make, jax.ShapeDtypeStruct((NCH, K, B), F32), aa, bb)
+    return f"{t*1e6:.2f}us/op"
+
+
+def elem_marg(NCH, B, n_ops=50):
+    x0 = jnp.ones((NCH, B), F32)
+
+    def make(R):
+        def k(x_ref, o_ref):
+            def body(i, acc):
+                x = x_ref[:] + dep(acc)
+                for _ in range(n_ops):
+                    x = x * 1.0001 + 0.001
+                return acc + x
+            o_ref[:] = jax.lax.fori_loop(
+                0, R, body, jnp.zeros((NCH, B), F32))
+        return k
+
+    t = marginal(make, jax.ShapeDtypeStruct((NCH, B), F32), x0)
+    return f"{t*1e6:.3f}us per {n_ops} ops"
+
+
+def ohmin_marg(NCH, NR, B):
+    r0 = (jnp.arange(NCH * B, dtype=F32).reshape(NCH, B) % 113.0)
+
+    def make(R):
+        def k(r_ref, o_ref):
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (NCH, NR, B), 1).astype(F32)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (NCH, 1, B), 2).astype(F32)
+
+            def body(i, acc):
+                r = r_ref[:] + dep(acc)
+                oh = (iota == r[:, None, :])
+                lf = jnp.where(oh, lane, F32(B))
+                return acc + jnp.min(lf, axis=1)
+            o_ref[:] = jax.lax.fori_loop(
+                0, R, body, jnp.zeros((NCH, B), F32))
+        return k
+
+    t = marginal(make, jax.ShapeDtypeStruct((NCH, B), F32), r0)
+    return f"{t*1e6:.2f}us/op"
+
+
+def match_marg(NCH, B):
+    r0 = (jnp.arange(NCH * B, dtype=F32).reshape(NCH, B) % 113.0)
+
+    def make(R):
+        def k(r_ref, o_ref):
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+                   ).astype(F32)
+            tri_s = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+                     < jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+                     ).astype(F32)
+
+            def body(i, acc):
+                r = r_ref[:] + dep(acc)
+                rcol = jax.lax.dot_general(
+                    r, eye, (((1,), (1,)), ((), ())),
+                    preferred_element_type=F32, precision=PREC)
+                m = (rcol[:, :, None] == r[:, None, :]).astype(F32)
+                cnt = jnp.sum(m * tri_s[None], axis=1)
+                return acc + (cnt == 0.0).astype(F32)
+            o_ref[:] = jax.lax.fori_loop(
+                0, R, body, jnp.zeros((NCH, B), F32))
+        return k
+
+    t = marginal(make, jax.ShapeDtypeStruct((NCH, B), F32), r0)
+    return f"{t*1e6:.2f}us/op"
+
+
+def main():
+    probe("bdot 8x(1363,7)x(.,256) HI", lambda: bdot_marg(8, 1363, 7, 256))
+    probe("bdot 8x(1363,7)x(.,512) HI", lambda: bdot_marg(8, 1363, 7, 512))
+    probe("bdot 8x(1363,9)x(.,512) HI", lambda: bdot_marg(8, 1363, 9, 512))
+    probe("bdot 8x(1363,9)x(.,512) DEF", lambda: bdot_marg(8, 1363, 9, 512, DEF))
+    probe("bdot 1x(1363,7)x(.,256) HI", lambda: bdot_marg(1, 1363, 7, 256))
+    probe("bdot 8x(128,128)x(.,512) HI", lambda: bdot_marg(8, 128, 128, 512))
+    probe("bdot 8x(128,128)x(.,256) HI", lambda: bdot_marg(8, 128, 128, 256))
+    probe("bdot 1x(128,128)x(.,256) HI", lambda: bdot_marg(1, 128, 128, 256))
+    probe("elem 50 (1,256)", lambda: elem_marg(1, 256))
+    probe("elem 50 (8,512)", lambda: elem_marg(8, 512))
+    probe("elem 50 (8,1024)", lambda: elem_marg(8, 1024))
+    probe("ohmin (8,1363,512)", lambda: ohmin_marg(8, 1363, 512))
+    probe("ohmin (8,1363,256)", lambda: ohmin_marg(8, 1363, 256))
+    probe("ohmin (1,1363,256)", lambda: ohmin_marg(1, 1363, 256))
+    probe("match (8,512)", lambda: match_marg(8, 512))
+    probe("match (8,1024)", lambda: match_marg(8, 1024))
+
+
+if __name__ == "__main__":
+    main()
