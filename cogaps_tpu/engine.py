@@ -46,6 +46,14 @@ EQUILIBRATION = 0
 SAMPLING = 1
 
 
+def _pallas_batch(batch: int, cfg: EngineConfig) -> int:
+    """Kernel lane width: the configured batch clamped to
+    pallas_max_batch and rounded up to a 128-lane multiple (Mosaic's
+    concat/relayout lowering needs full-vreg lane groups)."""
+    b = min(batch, cfg.pallas_max_batch)
+    return max(128, -(-b // 128) * 128)
+
+
 def _resolve_use_pallas(cfg: EngineConfig) -> bool:
     """Auto: the fused Pallas sweep kernel on TPU-class backends, the
     XLA sweep elsewhere (the kernel's differential oracle)."""
@@ -161,8 +169,7 @@ def run_iteration(cfg: EngineConfig, consts_a: SamplerConsts,
                 other):
         if use_pallas and consts.axis_name is None:
             from .ops.pallas_sweep import run_updates_pallas_full
-            ck = consts._replace(
-                batch=min(consts.batch, cfg.pallas_max_batch))
+            ck = consts._replace(batch=_pallas_batch(consts.batch, cfg))
             phase_t = dense.make_phase(invS2, other)
             return run_updates_pallas_full(
                 k, atoms, M, cache, temp, n_upd, ck, mparams,
@@ -524,10 +531,8 @@ def run_iteration_batch(cfg: EngineConfig, consts_a: SamplerConsts,
     done_p = jnp.zeros((NCH,), jnp.int32)
     obs_a = obs_p = None
 
-    ck_a = consts_a._replace(batch=min(consts_a.batch,
-                                       cfg.pallas_max_batch))
-    ck_p = consts_p._replace(batch=min(consts_p.batch,
-                                       cfg.pallas_max_batch))
+    ck_a = consts_a._replace(batch=_pallas_batch(consts_a.batch, cfg))
+    ck_p = consts_p._replace(batch=_pallas_batch(consts_p.batch, cfg))
     interp = jax.default_backend() == "cpu"
 
     if fixed != "A":

@@ -279,13 +279,25 @@ def to_slab_jmajor(X, NR=None):
         NCH, LANE, m * RH)
 
 
+def use_ztable(consts: SamplerConsts) -> bool:
+    """Static per-sampler choice of the pair-term/Y-update source:
+    small m keeps the invS2 row (m*RH wide) and recomputes Z terms
+    on the fly; large m (the P sampler — m is the gene axis) uses the
+    precomputed Z table in c'-major slab form (k*RHz wide)."""
+    import os
+    if os.environ.get("COGAPS_NO_ZTABLE"):
+        return False
+    return consts.m > consts.k * consts.k
+
+
 class _Phase:
     """Per-update-call constants living in VMEM for the sweep loop:
-    pre-split static slab tables (SQ, invS2) and the frozen partner."""
+    pre-split static slab tables (SQ and either invS2 or Z) and the
+    frozen partner factor."""
 
-    def __init__(self, SQ2, W2, other):
+    def __init__(self, SQ2, WZ2, other):
         self.SQ_parts = _split3(SQ2)  # 3 x (NCH, 128, Q) bf16
-        self.W_parts = _split3(W2)  # 3 x (NCH, 128, m*RH) bf16
+        self.WZ_parts = _split3(WZ2)  # 3 x (NCH, 128, m*RH | k*RHz)
         self.other = other  # (NCH, m, k) f32
         # canUseGibbs per column (DenseNormalModel.cpp:100-103)
         self.colnz = (jnp.max(other, axis=1) > 0.0
@@ -334,10 +346,11 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     e_birth = jnp.minimum(jnp.floor(ui2 * NB), float(NB - 1))
     e_move = jnp.minimum(jnp.floor(ui3 * NB), float(NB - 1))
 
-    t_a1 = _BT(a1c, C)
-    t_a2 = _BT(a2c, C)
-    elem_a1, m1g = t_a1.gather2(elem2f, mass2)
-    elem_a2, m2 = t_a2.gather2(elem2f, mass2)
+    # both atom picks through ONE lane-concatenated transport
+    t_a12 = _BT(jnp.concatenate([a1c, a2c], axis=1), C)
+    elem_a12, m12 = t_a12.gather2(elem2f, mass2)
+    elem_a1, elem_a2 = elem_a12[:, :B], elem_a12[:, B:]
+    m1g, m2 = m12[:, :B], m12[:, B:]
     m1 = jnp.where(is_birth, 0.0, m1g)
     elem1 = jnp.where(is_birth, e_birth, jnp.maximum(elem_a1, 0.0))
     elem2_ = jnp.where(is_move, e_move, jnp.maximum(elem_a2, 0.0))
@@ -404,13 +417,17 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     rl_cat = jnp.concatenate([rl1, rl2], axis=1)  # (NCH, 2B)
     ohrl_cat = (il == rl_cat[:, None, :]).astype(BF16)
 
+    zt = use_ztable(consts)
     Y_parts = _split3(Y)
     M_parts = _split3(M)
     A = None
-    for sq_p, w_p, y_p, m_p in zip(phase.SQ_parts, phase.W_parts,
-                                   Y_parts, M_parts):
-        stack = jnp.concatenate([sq_p, y_p, m_p, w_p], axis=2)
-        d = _bdot(stack, ohrl_cat, 1, 1)  # (NCH, 3Q+m*RH, 2B)
+    for sq_p, wz_p, y_p, m_p in zip(phase.SQ_parts, phase.WZ_parts,
+                                    Y_parts, M_parts):
+        if zt:
+            stack = jnp.concatenate([sq_p, y_p, m_p], axis=2)
+        else:
+            stack = jnp.concatenate([sq_p, y_p, m_p, wz_p], axis=2)
+        d = _bdot(stack, ohrl_cat, 1, 1)  # (NCH, 3Q[+m*RH], 2B)
         A = d if A is None else A + d
     A1, A2 = A[:, :, :B], A[:, :, B:]
 
@@ -433,7 +450,10 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
         return jnp.sum(As[:, lo:lo + Q] * ohq_, axis=1)
 
     def wrow(As, ohrh_):
-        # invS2 row components: j-major contiguous RH slices
+        # invS2 row components: j-major contiguous RH slices. With a
+        # single row-slab (RH == 1) the slab IS the row directly.
+        if RH == 1:
+            return As[:, 3 * Q:]
         return jnp.concatenate(
             [jnp.sum(As[:, 3 * Q + j * RH:3 * Q + (j + 1) * RH] * ohrh_,
                      axis=1)[:, None, :] for j in range(m_)], axis=1)
@@ -441,15 +461,56 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     s1 = sel(A1, 0, ohq1)
     smu1 = sel(A1, Q, ohq1)
     old1 = sel(A1, 2 * Q, ohq1)
-    W1 = wrow(A1, ohrh1)  # (NCH, m, B)
     s2 = sel(A2, 0, ohq2)
     smu2 = sel(A2, Q, ohq2)
     old2 = sel(A2, 2 * Q, ohq2)
-    W2 = wrow(A2, ohrh2)
 
-    o1 = _bdot(phase.other, ohc1, 2, 1, _PREC)  # (NCH, m, B)
-    o2 = _bdot(phase.other, ohc2, 2, 1, _PREC)
-    x = jnp.sum(o1 * o2 * W1, axis=1)
+    if zt:
+        # large-m sampler (m > k^2, e.g. the P side whose reduction
+        # axis is the gene dimension): the pair/Y-update row comes
+        # from the precomputed Z table (NB, k) in c'-major slab form —
+        # k*RHz wide instead of m*RH
+        NBp = _rup(NB, LANE)
+        RHz = NBp // LANE
+        rhz1 = jnp.floor(elem1 / LANE)
+        rlz1 = elem1 - rhz1 * LANE
+        rhz2 = jnp.floor(elem2_ / LANE)
+        rlz2 = elem2_ - rhz2 * LANE
+        ilb = jax.lax.broadcasted_iota(jnp.int32, (1, LANE, B), 1
+                                       ).astype(F32)
+        ohrlz1 = (ilb == rlz1[:, None, :]).astype(BF16)
+        ohrlz2 = (ilb == rlz2[:, None, :]).astype(BF16)
+        Az1 = Az2 = None
+        for z_p in phase.WZ_parts:
+            d1z = _bdot(z_p, ohrlz1, 1, 1)  # (NCH, K*RHz, B)
+            d2z = _bdot(z_p, ohrlz2, 1, 1)
+            Az1 = d1z if Az1 is None else Az1 + d1z
+            Az2 = d2z if Az2 is None else Az2 + d2z
+        if RHz == 1:
+            zrow1, zrow2 = Az1, Az2
+        else:
+            iota_rhz = jax.lax.broadcasted_iota(
+                jnp.int32, (1, RHz, B), 1).astype(F32)
+            ohz1 = (iota_rhz == rhz1[:, None, :]).astype(F32)
+            ohz2 = (iota_rhz == rhz2[:, None, :]).astype(F32)
+
+            def zsel(Azs, ohz_):
+                return jnp.concatenate(
+                    [jnp.sum(Azs[:, c * RHz:(c + 1) * RHz] * ohz_,
+                             axis=1)[:, None, :] for c in range(K)],
+                    axis=1)
+
+            zrow1 = zsel(Az1, ohz1)
+            zrow2 = zsel(Az2, ohz2)
+        x = jnp.sum(zrow1 * ohc2, axis=1)
+    else:
+        W1 = wrow(A1, ohrh1)  # (NCH, m, B)
+        W2 = wrow(A2, ohrh2)
+        o1 = _bdot(phase.other, ohc1, 2, 1, _PREC)  # (NCH, m, B)
+        o2 = _bdot(phase.other, ohc2, 2, 1, _PREC)
+        x = jnp.sum(o1 * o2 * W1, axis=1)
+        zrow1 = _bdot(phase.other, o1 * W1, 1, 1, _PREC)  # (NCH, k, B)
+        zrow2 = _bdot(phase.other, o2 * W2, 1, 1, _PREC)
     same_row = (r1 == r2).astype(F32)
     s_pair = s1 + s2 - 2.0 * x * same_row
     smu_pair = smu1 - smu2
@@ -514,11 +575,10 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     ohrhK1 = (jnp.floor(iota_q / K) == rh1[:, None, :]).astype(F32)
     ohrhK2 = (jnp.floor(iota_q / K) == rh2[:, None, :]).astype(F32)
     valqs = []
-    for dd, vm, old, ohc, ohrhK, oS, W_r in (
-            (d1, v1m, old1, ohc1, ohrhK1, o1, W1),
-            (d2, v2m, old2, ohc2, ohrhK2, o2, W2)):
+    for dd, vm, old, ohc, ohrhK, zrow in (
+            (d1, v1m, old1, ohc1, ohrhK1, zrow1),
+            (d2, v2m, old2, ohc2, ohrhK2, zrow2)):
         actual = jnp.where(vm, jnp.maximum(old + dd, 0.0) - old, 0.0)
-        zrow = _bdot(phase.other, oS * W_r, 1, 1, _PREC)  # (NCH, k, B)
         val_m = ohc * actual[:, None, :]  # (NCH, K, B)
         val_y = -zrow * actual[:, None, :]
         tiled = jnp.concatenate(
@@ -546,14 +606,21 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     birth_rank = mm_rank(birth_acc.astype(F32), tri)
     bslot = n_f + birth_rank - 1.0  # < C by the capacity guard
 
-    twa = _BT(a1c, C, write_a1)
-    twx = _BT(a2c, C, ex_acc)
-    twb = _BT(jnp.where(birth_acc, bslot, 0.0), C, birth_acc)
-    mass2 = twa.set(mass2, mass_v1)
-    mass2 = twx.set(mass2, nm2)
-    mass2 = twb.set(mass2, b_mass)
-    elem2f = twa.set(elem2f, elem_v1)
-    elem2f = twb.set(elem2f, e_birth)
+    # all three write streams (in-place a1, exchange-partner a2, birth
+    # slots) target provably disjoint slots, so they combine into ONE
+    # 3B-lane masked scatter per table (order-independent)
+    idx3 = jnp.concatenate(
+        [a1c, a2c, jnp.where(birth_acc, bslot, 0.0)], axis=1)
+    wf = write_a1.astype(F32)
+    xf = ex_acc.astype(F32)
+    bf = birth_acc.astype(F32)
+    tw_mass = _BT(idx3, C, jnp.concatenate([wf, xf, bf], axis=1))
+    tw_elem = _BT(idx3, C, jnp.concatenate(
+        [wf, jnp.zeros_like(wf), bf], axis=1))
+    mass2 = tw_mass.set(
+        mass2, jnp.concatenate([mass_v1, nm2, b_mass], axis=1))
+    elem2f = tw_elem.set(
+        elem2f, jnp.concatenate([elem_v1, elem_v1, e_birth], axis=1))
 
     n_b = jnp.sum(birth_acc.astype(F32), axis=1, keepdims=True)
     n_d = jnp.sum(death_kill.astype(F32), axis=1, keepdims=True)
@@ -575,12 +642,16 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     src = _BT(jnp.minimum(h_rank, Bp - 1.0), Bp).gather(rank_to_src)
     tsrc = _BT(jnp.minimum(src, float(C - 1)), C)
     fill_elem, fill_mass = tsrc.gather2(elem2f, mass2)
-    thw = _BT(a1c, C, hole)
-    elem2f = thw.set(elem2f, fill_elem)
-    mass2 = thw.set(mass2, fill_mass)
-    ttc = _BT(t_slot, C, t_valid)
-    elem2f = ttc.set(elem2f, jnp.full(t_slot.shape, -1.0, F32))
-    mass2 = ttc.set(mass2, jnp.zeros(t_slot.shape, F32))
+    # hole refills (< n_new) and tail clears (>= n_new) are disjoint:
+    # one combined 2B-lane scatter per table
+    thc = _BT(jnp.concatenate([a1c, t_slot], axis=1), C,
+              jnp.concatenate([hole.astype(F32),
+                               jnp.broadcast_to(t_valid.astype(F32),
+                                                hole.shape)], axis=1))
+    elem2f = thc.set(elem2f, jnp.concatenate(
+        [fill_elem, jnp.full(t_slot.shape, -1.0, F32)], axis=1))
+    mass2 = thc.set(mass2, jnp.concatenate(
+        [fill_mass, jnp.zeros(t_slot.shape, F32)], axis=1))
 
     n_processed = jnp.sum(keep.astype(F32), axis=1, keepdims=True)
     sums = [jnp.sum(m.astype(F32), axis=1, keepdims=True) for m in
@@ -612,20 +683,26 @@ def _kernel_b(consts, s_max, NCH,
     lam = scal_ref[:, 3:4]
     mgm = scal_ref[:, 4:5]
 
-    def body(s, carry):
-        def do(c):
-            uni = uni_ref[pl.ds(s * 16, 16)]  # (16, NCH, B)
-            return _sweep_b(consts, uni, tri, c, temp,
-                            n_steps_f, lam, mgm, phase)
-
-        done_f = carry[5]
+    # while_loop: only REAL sweeps execute — unused s_max slack costs
+    # nothing (a skipped fori+cond iteration was measured at up to
+    # ~1.7ms on this backend: the identity branch copies the carry)
+    def cond(carry):
+        s, st = carry
+        done_f = st[5]
         left = jnp.sum(jnp.maximum(n_steps_f - done_f, 0.0))
-        return jax.lax.cond(left > 0.0, do, lambda c: c, carry)
+        return (s < s_max) & (left > 0.0)
+
+    def body(carry):
+        s, st = carry
+        uni = uni_ref[pl.ds(s * 16, 16)]  # (16, NCH, B)
+        st = _sweep_b(consts, uni, tri, st, temp,
+                      n_steps_f, lam, mgm, phase)
+        return (s + 1, st)
 
     z = jnp.zeros((NCH, 1), F32)
     init = (mass_ref[:], elem_ref[:], M_ref[:], Y_ref[:],
             n0, z, z, z, z, z, z, z, z, z, z)
-    out = jax.lax.fori_loop(0, s_max, body, init)
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
     (mass2, elem2f, M, Y, n_f, done_f, *cs) = out
     omass_ref[:] = mass2
     oelem_ref[:] = elem2f
@@ -659,6 +736,19 @@ def _call_kernel(uni, atoms: AtomTable, M, Y, SQ, invS2, other_M, scal,
         jax.ShapeDtypeStruct((NCH, LANE, Q), F32),
         jax.ShapeDtypeStruct((NCH, 16), F32),
     )
+    if use_ztable(consts):
+        # Z table (NB, k) computed exactly as the XLA model builds it
+        # (models/dense.make_phase), so ztable-mode pair terms match
+        # the oracle bit-for-bit
+        NCH_, NR_, m2 = invS2.shape
+        oo = (other_M[:, :, :, None] * other_M[:, :, None, :]).reshape(
+            NCH_, m2, K * K)
+        Z = jnp.einsum("crm,cmq->crq", invS2, oo,
+                       preferred_element_type=F32).reshape(
+            NCH_, NR_ * K, K)
+        wz = to_slab_jmajor(Z)
+    else:
+        wz = to_slab_jmajor(invS2)
     res = pl.pallas_call(
         kern,
         out_shape=out_shapes,
@@ -668,7 +758,7 @@ def _call_kernel(uni, atoms: AtomTable, M, Y, SQ, invS2, other_M, scal,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(uni, mass2, elem2, to_slab(M), to_slab(Y), to_slab(SQ),
-      to_slab_jmajor(invS2), other_M, scal)
+      wz, other_M, scal)
     omass, oelem, oM2, oY2, ocnt = res
     oM = from_slab(oM2, NR, K)
     oY = from_slab(oY2, NR, K)
@@ -791,6 +881,32 @@ def run_updates_pallas_multi(keys, atoms: AtomTable, M, cache, temp,
     a2, M2, Y2, done, ns, cnt = _call_kernel(
         uni, atoms, M, cache.Y, SQ, invS2, other_M, scal, consts,
         s_max, interpret)
+
+    # completion guarantee: if any chain's Poisson budget outran s_max
+    # sweeps (rare — while_loop slack is free, so s_max is generous),
+    # keep re-invoking with the uniform streams continued
+    def unfinished(c):
+        return jnp.any(c[3] < n_steps)
+
+    def again(c):
+        a2, M2, Y2, done, ns, cnt = c
+        scal2 = jnp.stack([
+            a2.n.astype(F32),
+            (n_steps - done).astype(F32),
+            jnp.broadcast_to(jnp.asarray(temp, F32), (NCH,)),
+            mass.lam.astype(F32).reshape(NCH),
+            mass.max_gibbs_mass.astype(F32).reshape(NCH),
+        ], axis=1)
+        uni2 = _draw_uni(keys, offs + ns, s_max, NCH, B)
+        a3, M3, Y3, d3, ns3, cnt3 = _call_kernel(
+            uni2, a2, M2, Y2, SQ, invS2, other_M,
+            scal2, consts, s_max, interpret)
+        cnt4 = SweepCounts(processed=cnt.processed + cnt3.processed,
+                           accepted=cnt.accepted + cnt3.accepted)
+        return (a3, M3, Y3, done + d3, ns + ns3, cnt4)
+
+    a2, M2, Y2, done, ns, cnt = jax.lax.while_loop(
+        unfinished, again, (a2, M2, Y2, done, ns, cnt))
     from ..models.dense import DenseCache
     return a2, M2, DenseCache(Y=Y2), done, ns, cnt
 

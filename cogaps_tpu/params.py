@@ -247,12 +247,14 @@ class CogapsParams:
             return max(32, min(1024, _next_pow2(n_rows)))
 
         def default_capacity(n_bins: int) -> int:
-            # stationary atom counts on real data sit well under 1
-            # atom/bin (GIST k=7 equilibrates at ~3.2k atoms over 9.5k
-            # bins), so nBins rounded up leaves ~3-5x headroom; smaller
-            # tables also keep the kernel's exact atom first-wins rule
-            # in reach (ops/sweep.atoms_first_wins)
-            return max(1 << 12, min(1 << 22, _next_pow2(n_bins)))
+            # stationary atom counts on real data sit well under 0.5
+            # atom/bin (GIST k=7 equilibrates at ~3.5k atoms over 9.5k
+            # bins), so nBins/2 rounded up still leaves >2x headroom;
+            # every atom-table matmul in the fused kernel scales with
+            # capacity, so the table is kept as small as safely
+            # possible (atom_capacity_a/p override when a dataset runs
+            # hotter — the capacity guard blocks births at the brim)
+            return max(1 << 12, min(1 << 22, _next_pow2(n_bins) // 2))
 
         return EngineConfig(
             n_patterns=k,

@@ -40,7 +40,7 @@ def main():
                                CogapsParams(n_patterns=k, n_iterations=10,
                                             seed=0).engine_config(*D.shape))
     G, S = D.shape
-    cap = cfg.capacity_a if sampler == "A" else cfg.capacity_p
+    cap = int(os.environ.get("CAP", "0")) or (cfg.capacity_a if sampler == "A" else cfg.capacity_p)
     consts = make_consts(G, S, k, cap, B, cfg.alpha_a)
     C = consts.capacity
     print(f"{sampler}: NCH={NCH} B={B} s_max={s_max} cap={C} "
