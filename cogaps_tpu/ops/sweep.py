@@ -162,9 +162,13 @@ def death_prob(n_f32: jnp.ndarray, consts: SamplerConsts) -> jnp.ndarray:
 
 def atoms_first_wins(consts: SamplerConsts) -> bool:
     """Static rule shared by the XLA sweep and the Pallas kernel: exact
-    atom first-wins when the (capacity x batch) masked-min fits in VMEM
-    alongside the sweep's other live arrays."""
-    return consts.capacity * consts.batch <= (1 << 18)
+    first-wins on atoms, always. The kernel's match-matrix conflict
+    test makes first-wins exactly as cheap as the uncontested-only
+    rule, and first-wins keeps ~3x more survivors per sweep when atoms
+    are heavily contended (the P sampler: B lanes picking among ~10^2
+    atoms left almost every atom multiply-claimed, which the
+    uncontested rule resolved by keeping NONE of the claimants)."""
+    return True
 
 
 def _keep(active, r1, r2, uses2, a1, uses_a1, a2, uses_a2,
