@@ -63,7 +63,11 @@ def measure_baseline() -> float:
 
 def main() -> None:
     n_iterations = int(os.environ.get("BENCH_ITERATIONS", "2000"))
-    n_chains = int(os.environ.get("BENCH_CHAINS", "4"))
+    # 16 fused chains is the per-chip deployment packing (independent
+    # chains amortize the kernel's fixed per-sweep cost; GWCoGAPS-style
+    # production runs 4+ chains per worker, reference:
+    # R/DistributedCogaps.R:56-67)
+    n_chains = int(os.environ.get("BENCH_CHAINS", "16"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     import jax
