@@ -667,11 +667,17 @@ def _tri(B):
             ).astype(F32)
 
 
-def _kernel_b(consts, s_max, NCH,
+def _kernel_b(consts, s_max, NCH, use_prng,
               uni_ref, mass_ref, elem_ref, M_ref, Y_ref, SQ_ref,
               invS2_ref, other_ref, scal_ref,
               omass_ref, oelem_ref, oM_ref, oY_ref, ocnt_ref):
-    """NCH chains' update calls fused into every op of one sweep loop."""
+    """NCH chains' update calls fused into every op of one sweep loop.
+
+    use_prng: draw the per-sweep uniform block from the on-core PRNG
+    (seeded from scal column 5) instead of the pre-drawn threefry slab
+    — the engine's TPU fast path (no host-side uniform generation or
+    transfer). Host-uniform mode remains the exact differential-oracle
+    path (tests, interpret mode)."""
     B = consts.batch
 
     tri = _tri(B)
@@ -682,6 +688,12 @@ def _kernel_b(consts, s_max, NCH,
     temp = scal_ref[:, 2:3]
     lam = scal_ref[:, 3:4]
     mgm = scal_ref[:, 4:5]
+
+    if use_prng:
+        # one core-level stream per kernel call; chains are separated
+        # by their position in the (16, NCH, B) draw
+        seed = jnp.sum(scal_ref[:, 5].astype(jnp.int32))
+        pltpu.prng_seed(seed)
 
     # while_loop: only REAL sweeps execute — unused s_max slack costs
     # nothing (a skipped fori+cond iteration was measured at up to
@@ -694,7 +706,14 @@ def _kernel_b(consts, s_max, NCH,
 
     def body(carry):
         s, st = carry
-        uni = uni_ref[pl.ds(s * 16, 16)]  # (16, NCH, B)
+        if use_prng:
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((16, NCH, B)), jnp.uint32)
+            uni = pltpu.bitcast(
+                (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000),
+                jnp.float32) - 1.0
+        else:
+            uni = uni_ref[pl.ds(s * 16, 16)]  # (16, NCH, B)
         st = _sweep_b(consts, uni, tri, st, temp,
                       n_steps_f, lam, mgm, phase)
         return (s + 1, st)
@@ -714,10 +733,12 @@ def _kernel_b(consts, s_max, NCH,
 
 
 def _call_kernel(uni, atoms: AtomTable, M, Y, SQ, invS2, other_M, scal,
-                 consts: SamplerConsts, s_max: int, interpret: bool):
+                 consts: SamplerConsts, s_max: int, interpret: bool,
+                 use_prng: bool = False):
     """Invoke the batched kernel; all per-chain arrays carry a leading
-    NCH axis. `uni` is (s_max*16, NCH, B). Row tables are converted to
-    slab-major form for the kernel and back on the way out."""
+    NCH axis. `uni` is (s_max*16, NCH, B) in host-uniform mode and a
+    tiny dummy in PRNG mode. Row tables are converted to slab-major
+    form for the kernel and back on the way out."""
     NCH = M.shape[0]
     C = consts.capacity
     NR = consts.n_rows
@@ -727,7 +748,7 @@ def _call_kernel(uni, atoms: AtomTable, M, Y, SQ, invS2, other_M, scal,
     mass2 = atoms.mass.reshape(NCH, C // LANE, LANE)
     elem2 = atoms.elem.astype(F32).reshape(NCH, C // LANE, LANE)
 
-    kern = functools.partial(_kernel_b, consts, s_max, NCH)
+    kern = functools.partial(_kernel_b, consts, s_max, NCH, use_prng)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((NCH, C // LANE, LANE), F32),
@@ -867,20 +888,32 @@ def run_updates_pallas_multi(keys, atoms: AtomTable, M, cache, temp,
 
     offs = (jnp.zeros((NCH,), jnp.int32) if sweep_offsets is None
             else sweep_offsets)
-    uni = _draw_uni(keys, offs, s_max, NCH, B)
+    # TPU fast path draws uniforms from the on-core PRNG inside the
+    # kernel; interpret (CPU) mode keeps the pre-drawn threefry slabs
+    use_prng = not interpret
+    if use_prng:
+        uni = jnp.zeros((16, 8, LANE), F32)  # unused dummy ref
+        seeds = ((keys[:, 0] ^ keys[:, 1]).astype(jnp.int32)
+                 & jnp.int32(0xFFFFFF))
+    else:
+        uni = _draw_uni(keys, offs, s_max, NCH, B)
+        seeds = jnp.zeros((NCH,), jnp.int32)
 
-    scal = jnp.stack([
-        atoms.n.astype(F32),
-        n_steps.astype(F32),
-        jnp.broadcast_to(jnp.asarray(temp, F32), (NCH,)),
-        mass.lam.astype(F32).reshape(NCH),
-        mass.max_gibbs_mass.astype(F32).reshape(NCH),
-    ], axis=1)  # (NCH, 5)
+    def mk_scal(n_atoms, budget, off2):
+        return jnp.stack([
+            n_atoms.astype(F32),
+            budget.astype(F32),
+            jnp.broadcast_to(jnp.asarray(temp, F32), (NCH,)),
+            mass.lam.astype(F32).reshape(NCH),
+            mass.max_gibbs_mass.astype(F32).reshape(NCH),
+            (seeds ^ off2).astype(F32),
+        ], axis=1)  # (NCH, 6)
 
     SQ = SQ_batched(cache, invS2, other_M)
     a2, M2, Y2, done, ns, cnt = _call_kernel(
-        uni, atoms, M, cache.Y, SQ, invS2, other_M, scal, consts,
-        s_max, interpret)
+        uni, atoms, M, cache.Y, SQ, invS2, other_M,
+        mk_scal(atoms.n, n_steps, offs), consts, s_max, interpret,
+        use_prng)
 
     # completion guarantee: if any chain's Poisson budget outran s_max
     # sweeps (rare — while_loop slack is free, so s_max is generous),
@@ -890,17 +923,12 @@ def run_updates_pallas_multi(keys, atoms: AtomTable, M, cache, temp,
 
     def again(c):
         a2, M2, Y2, done, ns, cnt = c
-        scal2 = jnp.stack([
-            a2.n.astype(F32),
-            (n_steps - done).astype(F32),
-            jnp.broadcast_to(jnp.asarray(temp, F32), (NCH,)),
-            mass.lam.astype(F32).reshape(NCH),
-            mass.max_gibbs_mass.astype(F32).reshape(NCH),
-        ], axis=1)
-        uni2 = _draw_uni(keys, offs + ns, s_max, NCH, B)
+        uni2 = (uni if use_prng
+                else _draw_uni(keys, offs + ns, s_max, NCH, B))
         a3, M3, Y3, d3, ns3, cnt3 = _call_kernel(
             uni2, a2, M2, Y2, SQ, invS2, other_M,
-            scal2, consts, s_max, interpret)
+            mk_scal(a2.n, n_steps - done, offs + ns), consts, s_max,
+            interpret, use_prng)
         cnt4 = SweepCounts(processed=cnt.processed + cnt3.processed,
                            accepted=cnt.accepted + cnt3.accepted)
         return (a3, M3, Y3, done + d3, ns + ns3, cnt4)
