@@ -129,8 +129,14 @@ def CoGAPS(
         params.checkpoint_in_file = checkpoint_in_file
     params.print_messages = messages
     for key, val in kwargs.items():
-        setattr(params, key if hasattr(params, key)
-                else params._PARAM_ALIASES.get(key, key), val)
+        name = (key if hasattr(params, key)
+                else params._PARAM_ALIASES.get(key))
+        if name is None or not hasattr(params, name):
+            # unknown kwargs must raise, not silently create attributes
+            # (reference setParam rejects unrecognized parameters,
+            # R/methods-CogapsParams.R:104-181)
+            raise ValueError(f"unrecognized CoGAPS parameter: {key!r}")
+        setattr(params, name, val)
     params.validate()
 
     D, file_genes, file_samples = _load_data(data, params.transpose_data)
@@ -169,12 +175,12 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
         from .sparse_engine import SparseGapsEngine
         engine = SparseGapsEngine(D, config)
         import jax as _jax
-        if _jax.default_backend() not in ("cpu",) and params.print_messages:
+        if (_jax.default_backend() not in ("cpu",)
+                and engine.data.Wd_a is None and params.print_messages):
             log_message(
-                "Note: the sparse data model runs through the XLA sweep "
-                "(no fused TPU kernel yet) — on this backend its dynamic "
-                "gathers serialize; expect lower throughput than the "
-                "dense model (see PERF_NOTES.md)")
+                "Note: data exceeds the fused sparse kernel's dense-"
+                "weight bound; running through the XLA sweep (use the "
+                "sharded atlas path for data this large)")
     else:
         engine = GapsEngine(D, uncertainty, config)
 
@@ -203,6 +209,8 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
     if params.running_distributed:
         log_worker(params.worker_id, "is starting!")
 
+    progress_cb = _make_progress(engine, params, config, start)
+
     # phase fallthrough supports resume in either phase
     # (reference: GapsRunner.cpp:453-468)
     for phase in (EQUILIBRATION, SAMPLING):
@@ -214,13 +222,15 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
             while it < config.n_iterations:
                 stop = min(it + params.checkpoint_interval, config.n_iterations)
                 state, stats = _run_span(engine, state, stats, seed_key,
-                                         phase, it, stop)
+                                         phase, it, stop,
+                                         progress_cb=progress_cb)
                 it = stop
                 if it < config.n_iterations or phase == EQUILIBRATION:
                     ckpt.save_checkpoint(params.checkpoint_out_file, engine,
                                          state, stats, phase, it, seed)
         else:
-            state, stats = engine.run_phase(state, stats, seed_key, phase, it0)
+            state, stats = engine.run_phase(state, stats, seed_key, phase,
+                                            it0, progress_cb=progress_cb)
         if params.debug_checks:
             from .utils.debug import check_state
             check_state(jax.device_get(state), config.n_patterns)
@@ -321,9 +331,44 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
         pattern_names=pattern_names, diagnostics=diagnostics)
 
 
-def _run_span(engine, state, stats, seed_key, phase, start, stop):
+def _run_span(engine, state, stats, seed_key, phase, start, stop,
+              progress_cb=None):
     """Run iterations [start, stop) of one phase (checkpoint chunking)."""
-    return engine.run_span(state, stats, seed_key, phase, start, stop)
+    return engine.run_span(state, stats, seed_key, phase, start, stop,
+                           progress_cb=progress_cb)
+
+
+def _fmt_hms(seconds: float) -> str:
+    s = max(int(seconds), 0)
+    return f"{s // 3600:02d}:{(s % 3600) // 60:02d}:{s % 60:02d}"
+
+
+def _make_progress(engine, params: CogapsParams, config, t0: float):
+    """Live status line once per dispatch span — the analog of the
+    reference's per-outputFrequency display with elapsed/ETA
+    (reference: src/GapsRunner.cpp:130-199). Host-side only; disabled
+    (returning None) when messages are off or outputFrequency is 0, so
+    benchmarked runs pay nothing."""
+    if (not params.print_messages or params.output_frequency <= 0
+            or params.running_distributed):
+        return None
+    total = 2 * config.n_iterations
+
+    def cb(phase, iter_end, state):
+        done = phase * config.n_iterations + iter_end
+        frac = done / total
+        elapsed = time.time() - t0
+        est = elapsed / frac if frac > 0 else 0.0
+        cs = engine.chisq(state)
+        n_a = int(state.atoms_a.n)
+        n_p = int(state.atoms_p.n)
+        name = "equilibration" if phase == EQUILIBRATION else "sampling"
+        log_message(
+            f"{iter_end} of {config.n_iterations}, Atoms: {n_a}({n_p}),"
+            f" ChiSq: {cs:.0f}, time: {_fmt_hms(elapsed)} /"
+            f" {_fmt_hms(est)} [{name}]")
+
+    return cb
 
 
 def scCoGAPS(data, params=None, **kwargs) -> CogapsResult:

@@ -168,14 +168,27 @@ def run_iteration(cfg: EngineConfig, consts_a: SamplerConsts,
     def run_upd(k, atoms, M, cache, n_upd, consts, mparams, D, invS2,
                 other):
         if use_pallas and consts.axis_name is None:
-            from .ops.pallas_sweep import run_updates_pallas_full
+            # single chain = NCH=1 of the fused multi path (same kernel,
+            # same in-kernel PRNG fast mode)
+            from .models.dense import DenseCache
+            from .ops.pallas_sweep import run_updates_pallas_multi
             ck = consts._replace(batch=_pallas_batch(consts.batch, cfg))
-            phase_t = dense.make_phase(invS2, other)
-            return run_updates_pallas_full(
-                k, atoms, M, cache, temp, n_upd, ck, mparams,
-                phase=phase_t, invS2=invS2, other_M=other,
-                s_max=cfg.s_max,
+            atoms_b = AtomTable(mass=atoms.mass[None],
+                                elem=atoms.elem[None], n=atoms.n[None])
+            mp_b = MassParams(lam=mparams.lam.reshape(1),
+                              max_gibbs_mass=mparams.max_gibbs_mass
+                              .reshape(1))
+            a2, M2, c2, done, ns, cnt = run_updates_pallas_multi(
+                k[None], atoms_b, M[None], DenseCache(Y=cache.Y[None]),
+                temp, n_upd.reshape(1), ck, mp_b, invS2=invS2[None],
+                other_M=other[None], s_max=cfg.s_max,
                 interpret=jax.default_backend() == "cpu")
+            from .ops.sweep import SweepCounts
+            return (AtomTable(mass=a2.mass[0], elem=a2.elem[0],
+                              n=a2.n[0]), M2[0], DenseCache(Y=c2.Y[0]),
+                    done[0], ns[0],
+                    SweepCounts(processed=cnt.processed[0],
+                                accepted=cnt.accepted[0]))
         phase_t = dense.make_phase(invS2, other,
                                    axis_name=consts.axis_name)
         model = dense.make_model(phase_t, invS2,
@@ -470,20 +483,26 @@ class GapsEngine:
                               self.hist)
 
     # ------------------------------------------------------------------
-    def run_phase(self, state, stats, seed_key, phase: int, start_iter=0):
+    def run_phase(self, state, stats, seed_key, phase: int, start_iter=0,
+                  progress_cb=None):
         return self.run_span(state, stats, seed_key, phase, start_iter,
-                             self.config.n_iterations)
+                             self.config.n_iterations,
+                             progress_cb=progress_cb)
 
     def run_span(self, state, stats, seed_key, phase: int, start_iter,
-                 stop_iter):
+                 stop_iter, progress_cb=None):
         """Run iterations [start, stop) of one phase, dispatched in
-        bounded spans (checkpoint chunking reuses the same path)."""
+        bounded spans (checkpoint chunking reuses the same path).
+        `progress_cb(phase, iter_end, state)` fires after each span —
+        the live status hook (reference: GapsRunner.cpp:160-199)."""
         for a, b in dispatch_spans(start_iter, stop_iter,
                                    self.config.dispatch_iters):
             state, stats = _jit_phase_span(
                 self.config, self.consts_a, self.consts_p, self.hist,
                 phase, self.data, state, stats, seed_key,
                 jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32))
+            if progress_cb is not None:
+                progress_cb(phase, b, state)
         return state, stats
 
     def chisq(self, state: ChainState) -> float:

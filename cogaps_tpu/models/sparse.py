@@ -206,6 +206,66 @@ def make_model(ell: EllMatrix, phase: SparsePhase) -> SparseModel:
                        alpha=alpha, apply=apply)
 
 
+# ----------------------------------------------------------------------
+# TPU fast path: SQ/Y/G tables that make the DENSE sweep kernel evaluate
+# the sparse closed forms exactly. The per-proposal sparse quantities are
+# quadratic in the factor row M[r], so they reduce to the row "Gram"
+# table of the implied uncertainty (S = 0.1 on zeros, 0.1*d on nonzeros):
+#
+#   G[r, c, c'] = beta * ( Z2[c, c'] - sum_nz v_c v_c' (1 - 1/d^2) )
+#   s(r, c)     = G[r, c, c]
+#   s_mu(r, c)  = beta * sum_nz v_c/d  -  sum_c' M[r, c'] G[r, c, c']
+#
+# G plays exactly the dense model's Z role: an accepted change
+# (r, c0, delta) shifts s_mu(r, c) by -delta * G[r, c, c0], which is the
+# kernel's incremental Y-update rule — so the fused kernel
+# (ops/pallas_sweep.py) runs the sparse model unchanged, in ztable mode
+# with G as the pair-term table (reference closed forms:
+# SparseNormalModel.cpp:153-292).
+# ----------------------------------------------------------------------
+def dense_weights(ell: EllMatrix, n_cols: int):
+    """Static per-engine dense weight matrices for the table builder:
+    Wd[r, i] = 1 - 1/d^2 at nonzeros (0 elsewhere), D1[r, i] = 1/d.
+    Dense (n_rows x n_cols) — the fast path's memory bound; callers
+    gate on size and fall back to the XLA sweep beyond it."""
+    idx = np.asarray(ell.idx)
+    val = np.asarray(ell.val)
+    NR, L = idx.shape
+    Wd = np.zeros((NR, n_cols), np.float32)
+    D1 = np.zeros((NR, n_cols), np.float32)
+    rows = np.repeat(np.arange(NR), L)
+    cols = idx.reshape(-1)
+    vals = val.reshape(-1)
+    keep = cols >= 0
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    Wd[rows, cols] = 1.0 - 1.0 / (vals * vals)
+    D1[rows, cols] = 1.0 / vals
+    return jnp.asarray(Wd), jnp.asarray(D1)
+
+
+def kernel_tables(Wd: jnp.ndarray, D1: jnp.ndarray, other: jnp.ndarray,
+                  M: jnp.ndarray):
+    """Build (SQ, Y0, G_flat) for one update call (other = frozen
+    partner factor, M = the sampled factor at call start)."""
+    NR = Wd.shape[0]
+    k = other.shape[1]
+    prec = jax.lax.Precision.HIGHEST
+    oo = (other[:, :, None] * other[:, None, :]).reshape(
+        other.shape[0], k * k)
+    U = jnp.dot(Wd, oo, preferred_element_type=jnp.float32,
+                precision=prec).reshape(NR, k, k)
+    Z2 = jnp.dot(other.T, other, preferred_element_type=jnp.float32,
+                 precision=prec)
+    G = BETA * (Z2[None] - U)  # (NR, k, k)
+    SQ = jnp.diagonal(G, axis1=1, axis2=2)  # (NR, k)
+    T4 = jnp.dot(D1, other, preferred_element_type=jnp.float32,
+                 precision=prec)
+    # broadcast-mul instead of einsum: XLA lowers small batched
+    # einsums through gathers on this backend (PERF_NOTES.md)
+    Y0 = BETA * T4 - jnp.sum(M[:, None, :] * G, axis=2)
+    return SQ, Y0, G.reshape(NR * k, k)
+
+
 def sparse_chisq(ell_a: EllMatrix, M_a: jnp.ndarray, M_p: jnp.ndarray
                  ) -> jnp.ndarray:
     """Closed-form chi^2 (reference: SparseNormalModel.cpp:39-60), regrouped

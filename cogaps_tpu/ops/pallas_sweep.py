@@ -161,6 +161,12 @@ def _mm_fast(a, b):
     return jnp.dot(a, b, preferred_element_type=F32)
 
 
+def _lanesum(x):
+    """Row-sum (NCH, B) -> (NCH, 1) via an exact HIGHEST matvec —
+    Mosaic rejects keepdims lane reductions when NCH == 1."""
+    return _mm(x, jnp.ones((x.shape[1], 1), F32))
+
+
 class _BT:
     """Batched one-hot access to per-chain flat tables stored as
     (NCH, T/128, 128). `idx` is (NCH, B) f32; `valid` masks lanes."""
@@ -283,10 +289,9 @@ def use_ztable(consts: SamplerConsts) -> bool:
     """Static per-sampler choice of the pair-term/Y-update source:
     small m keeps the invS2 row (m*RH wide) and recomputes Z terms
     on the fly; large m (the P sampler — m is the gene axis) uses the
-    precomputed Z table in c'-major slab form (k*RHz wide)."""
-    import os
-    if os.environ.get("COGAPS_NO_ZTABLE"):
-        return False
+    precomputed Z table in c'-major slab form (k*RHz wide). The
+    sparse-model path forces ztable mode with its own G table
+    (models/sparse.kernel_tables)."""
     return consts.m > consts.k * consts.k
 
 
@@ -305,7 +310,7 @@ class _Phase:
 
 
 def _sweep_b(consts: SamplerConsts, uni, tri, state,
-             temp, n_steps_f, lam, mgm, phase: _Phase):
+             temp, n_steps_f, lam, mgm, phase: _Phase, zt: bool):
     """One batched sweep over (NCH, B) lanes for NCH independent
     chains. `state` = (mass2, elem2, M, Y, n_f, done_f, c0..c8) with
     per-chain scalars shaped (NCH, 1). Mirrors ops/sweep.sweep exactly
@@ -417,7 +422,6 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     rl_cat = jnp.concatenate([rl1, rl2], axis=1)  # (NCH, 2B)
     ohrl_cat = (il == rl_cat[:, None, :]).astype(BF16)
 
-    zt = use_ztable(consts)
     Y_parts = _split3(Y)
     M_parts = _split3(M)
     A = None
@@ -547,22 +551,38 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     dll_move = -m1 * (p_smu + p_s * m1 * 0.5)
     move_acc = is_move & ~same_elem & (log_u < dll_move)
 
-    # exchange lane
+    # exchange lane; same-bin exchanges redistribute the pooled mass by
+    # a truncated shape-2 gamma, auto-accepted, matrix untouched
+    # (reference: ProposalQueue.cpp:267-277, Random.cpp:194-200) —
+    # identical formula to ops/rng.trunc_gamma2_y
     x_mass, x_ok = _gibbs_mass(u_gibbs, p_s, p_smu, -m1, m2)
-    nm1 = m1 + x_mass
-    nm2 = m2 - x_mass
-    ex_acc = (is_exch & ~same_elem & (can1 | can2) & x_ok & rel_pair
-              & (nm1 > F32(EPS)) & (nm2 > F32(EPS)))
+    b_sb = jnp.maximum((m1 + m2) * lam, F32(1e-6))
+    upper_sb = 1.0 - jnp.exp(-b_sb) * (1.0 + b_sb)
+    q_sb = jnp.maximum(u_gibbs * upper_sb, F32(1e-12))
+    y_sb = jnp.clip(jnp.sqrt(2.0 * q_sb), 1e-6, b_sb)
+    for _ in range(12):
+        ey = jnp.exp(-y_sb)
+        h_sb = 1.0 - ey * (1.0 + y_sb)
+        dh = jnp.maximum(ey * y_sb, F32(1e-30))
+        y_sb = jnp.clip(y_sb - (h_sb - q_sb) / dh, 1e-7, b_sb)
+    new_sb = y_sb / lam
+    d_sb = jnp.where(m1 > m2, new_sb - m1, m2 - new_sb)
+    same_f = same_elem.astype(F32)
+    nm1 = m1 + same_f * d_sb + (1.0 - same_f) * x_mass
+    nm2 = m2 - same_f * d_sb - (1.0 - same_f) * x_mass
+    ex_ok = ((same_elem & is_exch)
+             | (~same_elem & (can1 | can2) & x_ok & rel_pair))
+    ex_acc = is_exch & ex_ok & (nm1 > F32(EPS)) & (nm2 > F32(EPS))
 
     # ---- matrix deltas -> M planes + Y updates ----
     d1 = jnp.where(birth_acc, b_mass, 0.0)
     d1 = jnp.where(death_kill, -m1, d1)
     d1 = jnp.where(death_rebirth, rebirth - m1, d1)
     d1 = jnp.where(move_acc, -m1, d1)
-    d1 = jnp.where(ex_acc, nm1 - m1, d1)
+    d1 = jnp.where(ex_acc & ~same_elem, nm1 - m1, d1)
     v1m = birth_acc | death_kill | death_rebirth | move_acc | ex_acc
     d2 = jnp.where(move_acc, m1, 0.0)
-    d2 = jnp.where(ex_acc, nm2 - m2, d2)
+    d2 = jnp.where(ex_acc & ~same_elem, nm2 - m2, d2)
     v2m = move_acc | ex_acc
 
     # all used rows are distinct across lanes AND streams (conflict
@@ -622,8 +642,8 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     elem2f = tw_elem.set(
         elem2f, jnp.concatenate([elem_v1, elem_v1, e_birth], axis=1))
 
-    n_b = jnp.sum(birth_acc.astype(F32), axis=1, keepdims=True)
-    n_d = jnp.sum(death_kill.astype(F32), axis=1, keepdims=True)
+    n_b = _lanesum(birth_acc.astype(F32))
+    n_d = _lanesum(death_kill.astype(F32))
     top = n_f + n_b
     n_new = top - n_d
 
@@ -653,8 +673,8 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     mass2 = thc.set(mass2, jnp.concatenate(
         [fill_mass, jnp.zeros(t_slot.shape, F32)], axis=1))
 
-    n_processed = jnp.sum(keep.astype(F32), axis=1, keepdims=True)
-    sums = [jnp.sum(m.astype(F32), axis=1, keepdims=True) for m in
+    n_processed = _lanesum(keep.astype(F32))
+    sums = [_lanesum(m.astype(F32)) for m in
             (is_birth, is_death, is_move, is_exch, birth_acc,
              death_kill | death_rebirth, move_acc, ex_acc)]
     new_cs = [cs[0] + 1.0] + [c + s for c, s in zip(cs[1:], sums)]
@@ -667,7 +687,7 @@ def _tri(B):
             ).astype(F32)
 
 
-def _kernel_b(consts, s_max, NCH, use_prng,
+def _kernel_b(consts, s_max, NCH, use_prng, zt,
               uni_ref, mass_ref, elem_ref, M_ref, Y_ref, SQ_ref,
               invS2_ref, other_ref, scal_ref,
               omass_ref, oelem_ref, oM_ref, oY_ref, ocnt_ref):
@@ -715,7 +735,7 @@ def _kernel_b(consts, s_max, NCH, use_prng,
         else:
             uni = uni_ref[pl.ds(s * 16, 16)]  # (16, NCH, B)
         st = _sweep_b(consts, uni, tri, st, temp,
-                      n_steps_f, lam, mgm, phase)
+                      n_steps_f, lam, mgm, phase, zt)
         return (s + 1, st)
 
     z = jnp.zeros((NCH, 1), F32)
@@ -734,7 +754,7 @@ def _kernel_b(consts, s_max, NCH, use_prng,
 
 def _call_kernel(uni, atoms: AtomTable, M, Y, SQ, invS2, other_M, scal,
                  consts: SamplerConsts, s_max: int, interpret: bool,
-                 use_prng: bool = False):
+                 use_prng: bool = False, z_flat=None):
     """Invoke the batched kernel; all per-chain arrays carry a leading
     NCH axis. `uni` is (s_max*16, NCH, B) in host-uniform mode and a
     tiny dummy in PRNG mode. Row tables are converted to slab-major
@@ -748,7 +768,8 @@ def _call_kernel(uni, atoms: AtomTable, M, Y, SQ, invS2, other_M, scal,
     mass2 = atoms.mass.reshape(NCH, C // LANE, LANE)
     elem2 = atoms.elem.astype(F32).reshape(NCH, C // LANE, LANE)
 
-    kern = functools.partial(_kernel_b, consts, s_max, NCH, use_prng)
+    zt = use_ztable(consts) or z_flat is not None
+    kern = functools.partial(_kernel_b, consts, s_max, NCH, use_prng, zt)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((NCH, C // LANE, LANE), F32),
@@ -757,7 +778,11 @@ def _call_kernel(uni, atoms: AtomTable, M, Y, SQ, invS2, other_M, scal,
         jax.ShapeDtypeStruct((NCH, LANE, Q), F32),
         jax.ShapeDtypeStruct((NCH, 16), F32),
     )
-    if use_ztable(consts):
+    if z_flat is not None:
+        # caller-provided pair-term table (the sparse model's G,
+        # models/sparse.kernel_tables)
+        wz = to_slab_jmajor(z_flat)
+    elif zt:
         # Z table (NB, k) computed exactly as the XLA model builds it
         # (models/dense.make_phase), so ztable-mode pair terms match
         # the oracle bit-for-bit
@@ -943,3 +968,64 @@ def SQ_batched(cache, invS2, other_M):
     """SQ = invS2 @ other^2 per chain (the dense phase table)."""
     return jnp.einsum("crm,cmk->crk", invS2, other_M * other_M,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def run_updates_pallas_tables(key, atoms: AtomTable, M, temp, n_steps,
+                              consts: SamplerConsts, mass: MassParams,
+                              *, SQ, Y0, Z_flat, other_M,
+                              s_max: int = 48, interpret: bool = False):
+    """Single-chain update call on CALLER-PROVIDED tables — the sparse
+    model's TPU path (models/sparse.kernel_tables builds SQ/Y0/G so the
+    dense sweep machinery evaluates the sparse closed forms exactly;
+    the G table is forced as the pair-term/Y-update source).
+    Returns (atoms, M, done, n_sweeps, counts) — the Y table is
+    call-scoped (rebuilt from closed forms next call), so it is not
+    returned."""
+    B = consts.batch
+    use_prng = not interpret
+    if use_prng:
+        uni = jnp.zeros((16, 8, LANE), F32)
+        seed = ((key[0] ^ key[1]).astype(jnp.int32)
+                & jnp.int32(0xFFFFFF))
+    else:
+        uni = _draw_uni(key[None], jnp.zeros((1,), jnp.int32), s_max, 1,
+                        B)
+        seed = jnp.int32(0)
+
+    def call(atoms_b, M_b, Y_b, budget, off):
+        scal = jnp.stack([
+            atoms_b.n[0].astype(F32),
+            budget.astype(F32),
+            jnp.asarray(temp, F32),
+            mass.lam.astype(F32),
+            mass.max_gibbs_mass.astype(F32),
+            (seed ^ off).astype(F32),
+        ]).reshape(1, 6)
+        uni_c = (uni if use_prng
+                 else _draw_uni(key[None], off[None], s_max, 1, B))
+        return _call_kernel(
+            uni_c, atoms_b, M_b, Y_b, SQ[None], SQ[None], other_M[None],
+            scal, consts, s_max, interpret, use_prng, Z_flat[None])
+
+    atoms_b = AtomTable(mass=atoms.mass[None], elem=atoms.elem[None],
+                        n=atoms.n[None])
+    a2, M2, Y2, done, ns, cnt = call(atoms_b, M[None], Y0[None],
+                                     n_steps, jnp.int32(0))
+
+    def unfinished(c):
+        return c[3][0] < n_steps
+
+    def again(c):
+        a2, M2, Y2, done, ns, cnt = c
+        a3, M3, Y3, d3, ns3, cnt3 = call(a2, M2, Y2, n_steps - done[0],
+                                         ns[0])
+        cnt4 = SweepCounts(processed=cnt.processed + cnt3.processed,
+                           accepted=cnt.accepted + cnt3.accepted)
+        return (a3, M3, Y3, done + d3, ns + ns3, cnt4)
+
+    a2, M2, Y2, done, ns, cnt = jax.lax.while_loop(
+        unfinished, again, (a2, M2, Y2, done, ns, cnt))
+    atoms_out = AtomTable(mass=a2.mass[0], elem=a2.elem[0], n=a2.n[0])
+    counts = SweepCounts(processed=cnt.processed[0],
+                         accepted=cnt.accepted[0])
+    return atoms_out, M2[0], done[0], ns[0], counts

@@ -85,3 +85,25 @@ def log_uniform(u):
     """log(U) used for Metropolis accepts (reference: e.g.
     SingleThreadedGibbsSampler.h:175,217). Guarded against log(0)."""
     return jnp.log(jnp.maximum(u, jnp.float32(1e-37)))
+
+
+def trunc_gamma2_y(u, b):
+    """Inverse CDF of a shape-2 gamma truncated to [0, b], in the
+    scale-free variable y = x/scale: solves 1 - e^-y (1+y) = u * upper
+    with upper = 1 - e^-b (1+b), by Newton iteration (the reference
+    inverts a 5001-entry qgamma lookup table instead,
+    src/math/Random.cpp:194-200; same distribution, better resolution).
+    Used by the same-bin exchange mass redistribution
+    (ProposalQueue.cpp:267-277). Pure elementwise f32 — the Pallas
+    kernel runs this identical code in-kernel."""
+    b = jnp.maximum(b, jnp.float32(1e-6))
+    upper = 1.0 - jnp.exp(-b) * (1.0 + b)
+    q = jnp.clip(u * upper, 1e-12, None)
+    # h(y) = 1 - e^-y (1+y) ~ y^2/2 near 0 -> y0 = sqrt(2q)
+    y = jnp.clip(jnp.sqrt(2.0 * q), 1e-6, b)
+    for _ in range(12):
+        ey = jnp.exp(-y)
+        h = 1.0 - ey * (1.0 + y)
+        dh = jnp.maximum(ey * y, jnp.float32(1e-30))
+        y = jnp.clip(y - (h - q) / dh, 1e-7, b)
+    return y

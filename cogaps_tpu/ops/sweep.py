@@ -60,7 +60,9 @@ element level:
     partner atom (design delta: partner is a uniform *other* atom rather
     than the domain successor — pair selection is measurable w.r.t. the
     non-resampled state, so the Gibbs step is unchanged). Same-element
-    exchanges are ignored (h:242).
+    exchanges redistribute the pooled mass by a truncated shape-2 gamma
+    draw, auto-accepted with the matrix untouched — the async
+    reference's rule (ProposalQueue.cpp:267-277, Random.cpp:194-200).
 """
 
 from __future__ import annotations
@@ -363,10 +365,19 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
 
     # exchange lane (h:228-257); gibbsMass without lambda, bounds (-m1, m2)
     x_mass, x_ok = gaps_rng.gibbs_mass(u_gibbs, p_s, p_smu, -m1, m2)
-    nm1 = m1 + x_mass
-    nm2 = m2 - x_mass
-    ex_acc = (is_exch & ~same_elem & (can1 | can2) & x_ok & rel_pair
-              & (nm1 > EPS) & (nm2 > EPS))
+    # same-bin exchange: auto-accepted truncated-gamma(shape 2)
+    # redistribution of the pooled mass, newMass assigned to the
+    # heavier atom (reference: ProposalQueue.cpp:267-277,
+    # Random.cpp:194-200); the matrix element is unchanged (both
+    # streams' deltas cancel exactly)
+    new_sb = gaps_rng.trunc_gamma2_y(
+        u_gibbs, (m1 + m2) * mass.lam) / mass.lam
+    d_sb = jnp.where(m1 > m2, new_sb - m1, m2 - new_sb)
+    nm1 = jnp.where(same_elem, m1 + d_sb, m1 + x_mass)
+    nm2 = jnp.where(same_elem, m2 - d_sb, m2 - x_mass)
+    ex_ok = ((same_elem & is_exch)
+             | (~same_elem & (can1 | can2) & x_ok & rel_pair))
+    ex_acc = is_exch & ex_ok & (nm1 > EPS) & (nm2 > EPS)
 
     # ---- apply matrix changes (each element touched at most once; clamped
     # like safelyChangeMatrix, reference: DenseNormalModel.cpp:117-123) ----
@@ -374,9 +385,9 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     d1 = jnp.where(death_kill, -m1, d1)
     d1 = jnp.where(death_rebirth, rebirth - m1, d1)
     d1 = jnp.where(move_acc, -m1, d1)
-    d1 = jnp.where(ex_acc, nm1 - m1, d1)
+    d1 = jnp.where(ex_acc & ~same_elem, nm1 - m1, d1)
     d2 = jnp.where(move_acc, m1, 0.0)
-    d2 = jnp.where(ex_acc, nm2 - m2, d2)
+    d2 = jnp.where(ex_acc & ~same_elem, nm2 - m2, d2)
 
     up_r = jnp.concatenate([r1, r2])
     up_c = jnp.concatenate([c1, c2])

@@ -33,6 +33,16 @@ class SparseDeviceData(NamedTuple):
     ell_p: sparse.EllMatrix  # sample-major nonzeros (P-sampler layout)
     mass_a: MassParams
     mass_p: MassParams
+    # dense weight matrices for the fused-kernel table builder
+    # (models/sparse.kernel_tables); None when the dense (G x S) weights
+    # exceed the fast-path memory bound -> XLA sweep fallback
+    Wd_a: object = None  # (G, S) or None
+    D1_a: object = None
+
+
+# dense-weight fast path bound: 2 arrays of this many f32s (the 10k-cell
+# scCoGAPS config is ~2e8; atlas-scale stays on the sharded XLA path)
+_FAST_PATH_MAX_ELEMS = 250_000_000
 
 
 @struct.dataclass
@@ -72,17 +82,37 @@ def run_iteration_sparse(cfg: EngineConfig, consts_a: SamplerConsts,
     done_p = jnp.zeros((), jnp.int32)
     obs_a = obs_p = None
 
+    from .engine import _resolve_use_pallas, _pallas_batch
+    use_pallas = _resolve_use_pallas(cfg) and data.Wd_a is not None
+
+    def run_upd(k2, atoms, M, n_upd, consts, mparams, ell, Wd, D1,
+                other):
+        if use_pallas:
+            from .ops.pallas_sweep import run_updates_pallas_tables
+            ck = consts._replace(batch=_pallas_batch(consts.batch, cfg))
+            SQ, Y0, G = sparse.kernel_tables(Wd, D1, other, M)
+            atoms, M, done, ns, cnt = run_updates_pallas_tables(
+                k2, atoms, M, temp, n_upd, ck, mparams,
+                SQ=SQ, Y0=Y0, Z_flat=G, other_M=other,
+                s_max=cfg.s_max,
+                interpret=jax.default_backend() == "cpu")
+            return atoms, M, done, ns, cnt
+        model = sparse.make_model(ell, sparse.make_sparse_phase(other))
+        atoms, M, _, done, ns, cnt = run_updates(
+            k2, atoms, M, (), temp, n_upd, consts, mparams, model=model)
+        return atoms, M, done, ns, cnt
+
     if fixed != "A":
-        model_a = sparse.make_model(data.ell_a, sparse.make_sparse_phase(M_p))
-        atoms_a, M_a, _, done_a, ns_a, cnt_a = run_updates(
-            kua, atoms_a, M_a, (), temp, n_a, consts_a, data.mass_a,
-            model=model_a)
+        atoms_a, M_a, done_a, ns_a, cnt_a = run_upd(
+            kua, atoms_a, M_a, n_a, consts_a, data.mass_a,
+            data.ell_a, data.Wd_a, data.D1_a, M_p)
         obs_a = (ns_a, cnt_a)
     if fixed != "P":
-        model_p = sparse.make_model(data.ell_p, sparse.make_sparse_phase(M_a))
-        atoms_p, M_p, _, done_p, ns_p, cnt_p = run_updates(
-            kup, atoms_p, M_p, (), temp, n_p, consts_p, data.mass_p,
-            model=model_p)
+        Wd_p = None if data.Wd_a is None else data.Wd_a.T
+        D1_p = None if data.D1_a is None else data.D1_a.T
+        atoms_p, M_p, done_p, ns_p, cnt_p = run_upd(
+            kup, atoms_p, M_p, n_p, consts_p, data.mass_p,
+            data.ell_p, Wd_p, D1_p, M_a)
         obs_p = (ns_p, cnt_p)
 
     state = SparseChainState(atoms_a=atoms_a, atoms_p=atoms_p,
@@ -147,13 +177,18 @@ class SparseGapsEngine:
         lam_a = float(config.alpha_a) * float(np.sqrt(k / nnz_mean))
         lam_p = float(config.alpha_p) * float(np.sqrt(k / nnz_mean))
         self.lam_a, self.lam_p = lam_a, lam_p
+        if self.n_genes * self.n_samples <= _FAST_PATH_MAX_ELEMS:
+            Wd_a, D1_a = sparse.dense_weights(ell_a, self.n_samples)
+        else:
+            Wd_a = D1_a = None
         self.data = SparseDeviceData(
             ell_a=ell_a,
             ell_p=ell_p,
             mass_a=MassParams(jnp.float32(lam_a),
                               jnp.float32(config.max_gibbs_mass_a / lam_a)),
             mass_p=MassParams(jnp.float32(lam_p),
-                              jnp.float32(config.max_gibbs_mass_p / lam_p)))
+                              jnp.float32(config.max_gibbs_mass_p / lam_p)),
+            Wd_a=Wd_a, D1_a=D1_a)
 
         self.consts_a = make_consts(self.n_genes, self.n_samples, k,
                                     config.capacity_a, config.batch_a,
@@ -187,18 +222,22 @@ class SparseGapsEngine:
                               self.hist)
 
     # ------------------------------------------------------------------
-    def run_phase(self, state, stats, seed_key, phase: int, start_iter=0):
+    def run_phase(self, state, stats, seed_key, phase: int, start_iter=0,
+                  progress_cb=None):
         return self.run_span(state, stats, seed_key, phase, start_iter,
-                             self.config.n_iterations)
+                             self.config.n_iterations,
+                             progress_cb=progress_cb)
 
     def run_span(self, state, stats, seed_key, phase: int, start_iter,
-                 stop_iter):
+                 stop_iter, progress_cb=None):
         from .engine import dispatch_spans
         for a, b in dispatch_spans(start_iter, stop_iter,
                                    self.config.dispatch_iters):
             state, stats = self._run_phase(
                 phase, self.data, state, stats, seed_key,
                 jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32))
+            if progress_cb is not None:
+                progress_cb(phase, b, state)
         return state, stats
 
     def chisq(self, state: SparseChainState) -> float:

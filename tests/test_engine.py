@@ -150,3 +150,20 @@ def test_batch_sizes_all_converge(modsim, batch):
                            output_frequency=100)
     hist = np.asarray(stats.chisq_hist)
     assert hist[-1] < 0.5 * hist[0]
+
+
+def test_trunc_gamma2_inversion():
+    """trunc_gamma2_y inverts the shape-2 gamma CDF on [0, b]:
+    h(y(u)) == u * upper within fp tolerance (the same-bin exchange
+    redistribution draw, reference: Random.cpp:194-200)."""
+    import jax.numpy as jnp
+    from cogaps_tpu.ops import rng as gaps_rng
+
+    u = jnp.linspace(0.001, 0.999, 101, dtype=jnp.float32)
+    for b in (0.05, 0.7, 3.0, 25.0):
+        y = gaps_rng.trunc_gamma2_y(u, jnp.float32(b))
+        h = 1.0 - jnp.exp(-y) * (1.0 + y)
+        upper = 1.0 - np.exp(-b) * (1.0 + b)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(u) * upper,
+                                   rtol=2e-4, atol=2e-6)
+        assert float(y.max()) <= b + 1e-5

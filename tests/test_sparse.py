@@ -130,3 +130,103 @@ def test_sparse_rejects_custom_uncertainty(sparse_data):
         CoGAPS(sparse_data, n_patterns=3, n_iterations=10, messages=False,
                sparse_optimization=True,
                uncertainty=np.full_like(sparse_data, 0.5))
+
+
+def test_kernel_tables_match_closed_forms():
+    """The fused-kernel table formulation (models/sparse.kernel_tables:
+    SQ = diag G, smu = beta*T4 - M.G[:,c]) must reproduce the sparse
+    model's closed-form alphaParameters, including pair terms — the
+    correctness basis of the sparse TPU path."""
+    import jax.numpy as jnp
+    from cogaps_tpu.models import sparse as sp
+    from cogaps_tpu.ops.sweep import AddrBatch
+
+    rng = np.random.default_rng(5)
+    G_, S_, k = 40, 23, 4
+    D = rng.gamma(2.0, 1.0, (G_, S_)) * (rng.random((G_, S_)) < 0.4)
+    D = D.astype(np.float32)
+    ell = sp.to_ell(D)
+    other = jnp.asarray(rng.gamma(2.0, 1.0, (S_, k)), jnp.float32)
+    M = jnp.asarray(rng.gamma(2.0, 0.5, (G_, k)), jnp.float32)
+
+    B = 64
+    r1 = jnp.asarray(rng.integers(0, G_, B), jnp.int32)
+    c1 = jnp.asarray(rng.integers(0, k, B), jnp.int32)
+    r2 = jnp.asarray(rng.integers(0, G_, B), jnp.int32)
+    c2 = jnp.asarray(rng.integers(0, k, B), jnp.int32)
+    # force some same-row pairs (the x-term path)
+    r2 = r2.at[:16].set(r1[:16])
+    addr = AddrBatch(r1=r1, c1=c1, r2=r2, c2=c2)
+
+    model = sp.make_model(ell, sp.make_sparse_phase(other))
+    ab = model.alpha((), M, addr)
+
+    Wd, D1 = sp.dense_weights(ell, S_)
+    SQ, Y0, Gf = sp.kernel_tables(Wd, D1, other, M)
+    k_ = k
+    s1_t = SQ[r1, c1]
+    smu1_t = Y0[r1, c1]
+    x_t = Gf.reshape(G_, k_, k_)[r1, c1, c2]
+    same = (r1 == r2)
+    s_pair_t = jnp.where(same, SQ[r1, c1] + SQ[r2, c2] - 2.0 * x_t,
+                         SQ[r1, c1] + SQ[r2, c2])
+    smu_pair_t = Y0[r1, c1] - Y0[r2, c2]
+
+    tol = dict(rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(s1_t), np.asarray(ab.s1), **tol)
+    np.testing.assert_allclose(np.asarray(smu1_t), np.asarray(ab.smu1),
+                               **tol)
+    np.testing.assert_allclose(np.asarray(s_pair_t),
+                               np.asarray(ab.s_pair), **tol)
+    np.testing.assert_allclose(np.asarray(smu_pair_t),
+                               np.asarray(ab.smu_pair), **tol)
+
+
+def test_sparse_tables_kernel_path_runs():
+    """The sparse TPU path (run_updates_pallas_tables, interpret mode)
+    completes its budget, keeps the atom table compact and reaches a
+    sane fit on a sparse toy — the end-to-end smoke of the fused
+    sparse path."""
+    import jax
+    import jax.numpy as jnp
+    from cogaps_tpu.models import sparse as sp
+    from cogaps_tpu.ops.atoms import AtomTable, total_mass_per_element
+    from cogaps_tpu.ops.pallas_sweep import run_updates_pallas_tables
+    from cogaps_tpu.ops.sweep import MassParams, make_consts
+
+    rng = np.random.default_rng(2)
+    G_, S_, k = 30, 12, 3
+    D = (rng.gamma(2.0, 1.0, (G_, S_))
+         * (rng.random((G_, S_)) < 0.5)).astype(np.float32)
+    ell = sp.to_ell(D)
+    Wd, D1 = sp.dense_weights(ell, S_)
+    other = jnp.asarray(rng.gamma(2.0, 1.0, (S_, k)), jnp.float32)
+
+    consts = make_consts(G_, S_, k, 512, 64, 0.01)
+    n0 = 40
+    elem = jnp.asarray(np.where(np.arange(512) < n0,
+                                rng.integers(0, G_ * k, 512), -1),
+                       jnp.int32)
+    mass = jnp.asarray(np.where(np.arange(512) < n0,
+                                rng.gamma(2.0, 1.0, 512), 0.0),
+                       jnp.float32)
+    atoms = AtomTable(mass=mass, elem=elem,
+                      n=jnp.asarray(n0, jnp.int32))
+    M = total_mass_per_element(atoms, G_ * k).reshape(G_, k)
+    SQ, Y0, Gf = sp.kernel_tables(Wd, D1, other, M)
+    mp = MassParams(lam=jnp.float32(0.05),
+                    max_gibbs_mass=jnp.float32(100.0 / 0.05))
+    a2, M2, done, ns, cnt = run_updates_pallas_tables(
+        jax.random.PRNGKey(3), atoms, M, jnp.float32(1.0),
+        jnp.asarray(150, jnp.int32), consts, mp,
+        SQ=SQ, Y0=Y0, Z_flat=Gf, other_M=other, s_max=16,
+        interpret=True)
+    assert int(done) == 150
+    n = int(a2.n)
+    e = np.asarray(a2.elem)
+    assert (e[:n] >= 0).all() and (e[n:] == -1).all()
+    # M stays the bin-sum of atom masses (drift oracle)
+    M_re = np.zeros(G_ * k, np.float32)
+    np.add.at(M_re, e[:n], np.asarray(a2.mass)[:n])
+    np.testing.assert_allclose(np.asarray(M2).reshape(-1), M_re,
+                               rtol=1e-4, atol=1e-4)
