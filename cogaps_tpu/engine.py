@@ -431,9 +431,11 @@ def build_consts(cfg: EngineConfig, n_genes: int, n_samples: int
                  ) -> Tuple[SamplerConsts, SamplerConsts]:
     k = cfg.n_patterns
     consts_a = make_consts(n_genes, n_samples, k, cfg.capacity_a,
-                           cfg.batch_a, cfg.alpha_a)
+                           cfg.batch_a, cfg.alpha_a,
+                           local_moves=cfg.local_moves)
     consts_p = make_consts(n_samples, n_genes, k, cfg.capacity_p,
-                           cfg.batch_p, cfg.alpha_p)
+                           cfg.batch_p, cfg.alpha_p,
+                           local_moves=cfg.local_moves)
     return consts_a, consts_p
 
 

@@ -349,7 +349,6 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     a1c = a1r
     a2c = jnp.minimum(a2r_, n_c - 1.0)
     e_birth = jnp.minimum(jnp.floor(ui2 * NB), float(NB - 1))
-    e_move = jnp.minimum(jnp.floor(ui3 * NB), float(NB - 1))
 
     # both atom picks through ONE lane-concatenated transport
     t_a12 = _BT(jnp.concatenate([a1c, a2c], axis=1), C)
@@ -358,6 +357,17 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     m1g, m2 = m12[:, :B], m12[:, B:]
     m1 = jnp.where(is_birth, 0.0, m1g)
     elem1 = jnp.where(is_birth, e_birth, jnp.maximum(elem_a1, 0.0))
+    if consts.local_moves:
+        # symmetric local move window (identical formula to
+        # ops/sweep.sweep — the differential oracle)
+        W_f = jnp.maximum(1.0, jnp.floor(NB / n_c))
+        t2m = ui3 * 2.0
+        sgn = jnp.where(t2m < 1.0, -1.0, 1.0)
+        frac = t2m - jnp.floor(t2m)
+        mag = jnp.minimum(jnp.floor(frac * W_f) + 1.0, W_f)
+        e_move = (elem1 + sgn * mag) % NB
+    else:
+        e_move = jnp.minimum(jnp.floor(ui3 * NB), float(NB - 1))
     elem2_ = jnp.where(is_move, e_move, jnp.maximum(elem_a2, 0.0))
     # float division by k is exactly floor-safe for e < 2^24
     r1 = jnp.floor(elem1 / K)

@@ -51,11 +51,12 @@ element level:
   * death (h:154-188): uniform atom; attempted rebirth with Gibbs mass at
     the atom-removed state; accept rebirth iff log U < m*(s_mu - s*m/2),
     else the atom dies.
-  * move (h:192-223): uniform atom relocated to a uniform element
-    (design delta: the reference proposes uniformly between domain
-    neighbors; both proposals are symmetric w.r.t. the position-uniform
-    atomic prior, so the stationary distribution is unchanged — ours
-    mixes globally). Same-element moves auto-accept (a no-op here).
+  * move (h:192-223): uniform atom relocated within a symmetric local
+    window e1 +/- U[1, W], W = mean atom spacing — the analog of the
+    reference's neighbor-bounded move interval, and a symmetric MH
+    proposal w.r.t. the position-uniform atomic prior (global-uniform
+    targets remain available via SamplerConsts.local_moves=False).
+    Same-element moves auto-accept (a no-op here).
   * exchange (h:228-257): Gibbs mass transfer between the atom and a
     partner atom (design delta: partner is a uniform *other* atom rather
     than the domain successor — pair selection is measurable w.r.t. the
@@ -94,6 +95,14 @@ class SamplerConsts(NamedTuple):
     domain_length: float  # binLength * nBins with binLength = 2^64 // nBins
     axis_name: object = None  # mesh axis to psum row-reductions over
     # (gene-sharded P sampler, parallel/sharded.py)
+    # move proposals: True = symmetric local window around the atom
+    # (target = e1 +/- U[1, W], W = mean atom spacing in bins — the
+    # analog of the reference's neighbor-bounded move interval,
+    # SingleThreadedGibbsSampler.h:192-223, needed for mixing in
+    # sharp-posterior regimes, PERF_NOTES.md); False = global uniform
+    # (also a valid symmetric proposal; mixes slowly when the
+    # posterior over positions is sharp)
+    local_moves: bool = True
 
 
 class MassParams(NamedTuple):
@@ -144,13 +153,15 @@ def make_addr(r1, c1, r2, c2, n_rows: int = None, k: int = None) -> AddrBatch:
 
 
 def make_consts(n_rows: int, m: int, k: int, capacity: int, batch: int,
-                alpha: float, axis_name=None) -> SamplerConsts:
+                alpha: float, axis_name=None,
+                local_moves: bool = True) -> SamplerConsts:
     n_bins = n_rows * k
     bin_length = (2**64) // n_bins
     return SamplerConsts(
         n_rows=n_rows, m=m, k=k, n_bins=n_bins, capacity=capacity,
         batch=batch, alpha=alpha,
         domain_length=float(bin_length * n_bins), axis_name=axis_name,
+        local_moves=local_moves,
     )
 
 
@@ -293,12 +304,24 @@ def sweep(key: jax.Array, atoms: AtomTable, M: jnp.ndarray,
     a1c = a1r & (C - 1)  # in-bounds by construction (masked for the compiler)
     a2c = jnp.minimum(a2r_, n_c - 1) & (C - 1)
     e_birth = jnp.minimum((ui[:, 2] * NB).astype(jnp.int32), NB - 1)
-    e_move = jnp.minimum((ui[:, 3] * NB).astype(jnp.int32), NB - 1)
 
     elem_a1 = atoms.elem[a1c]
     elem_a2 = atoms.elem[a2c]
     elem1 = jnp.where(is_birth, e_birth, jnp.maximum(elem_a1, 0))
     m1 = jnp.where(is_birth, 0.0, atoms.mass[a1c])
+    if consts.local_moves:
+        # symmetric window around the moved atom: sign and magnitude
+        # U[1, W] both derived from ui3 (W = mean atom spacing, the
+        # analog of the reference's neighbor-bounded move interval)
+        W_f = jnp.maximum(1.0, jnp.floor(NB / nf))
+        t2m = ui[:, 3] * 2.0
+        sgn = jnp.where(t2m < 1.0, -1.0, 1.0)
+        frac = t2m - jnp.floor(t2m)
+        mag = jnp.minimum(jnp.floor(frac * W_f) + 1.0, W_f)
+        e_move = (elem1.astype(jnp.float32) + sgn * mag) % NB
+        e_move = e_move.astype(jnp.int32)
+    else:
+        e_move = jnp.minimum((ui[:, 3] * NB).astype(jnp.int32), NB - 1)
     elem2 = jnp.where(is_move, e_move, jnp.maximum(elem_a2, 0))
     m2 = atoms.mass[a2c]
     r1 = elem1 // K

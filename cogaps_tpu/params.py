@@ -97,6 +97,10 @@ class CogapsParams:
     # None = auto (fused Pallas sweep kernel on TPU backends, XLA sweep on
     # CPU); True/False force. ops/pallas_sweep.py documents why.
     use_pallas: Optional[bool] = None
+    # move proposals: symmetric local window (the reference's
+    # neighbor-bounded move analog; required for mixing under sharp
+    # custom-uncertainty posteriors) vs global-uniform targets
+    local_moves: bool = True
 
     # ------------------------------------------------------------------
     def resolved_seed(self) -> int:
@@ -275,6 +279,7 @@ class CogapsParams:
             take_pump_samples=bool(self.take_pump_samples),
             dispatch_iters=int(self.dispatch_iters),
             use_pallas=self.use_pallas,
+            local_moves=bool(self.local_moves),
         )
 
 
@@ -301,6 +306,7 @@ class EngineConfig:
     take_pump_samples: bool
     dispatch_iters: int = 250
     use_pallas: Optional[bool] = None
+    local_moves: bool = True
     # pallas kernel knobs: per-call sweep cap (the outer while_loop
     # continues on Poisson tails, so a tight cap just avoids skipped-cond
     # overhead) and the batch clamp (B <= 256 also keeps the rank/count

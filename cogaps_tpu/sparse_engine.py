@@ -192,10 +192,12 @@ class SparseGapsEngine:
 
         self.consts_a = make_consts(self.n_genes, self.n_samples, k,
                                     config.capacity_a, config.batch_a,
-                                    config.alpha_a)
+                                    config.alpha_a,
+                                    local_moves=config.local_moves)
         self.consts_p = make_consts(self.n_samples, self.n_genes, k,
                                     config.capacity_p, config.batch_p,
-                                    config.alpha_p)
+                                    config.alpha_p,
+                                    local_moves=config.local_moves)
 
         self._run_phase = functools.partial(
             _jit_sparse_phase_span, config, self.consts_a, self.consts_p,

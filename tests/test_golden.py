@@ -112,3 +112,26 @@ def test_gist_golden_pattern_recovery():
     cors = best_perm_corr(res.Pmean, np.asarray(z["golden_Pmean"]))
     assert np.median(cors) > 0.8, cors
     assert (cors > 0.5).all(), cors
+
+
+@pytest.mark.slow
+def test_gist_custom_uncertainty_converges():
+    """GIST with the reference's shipped GIST.uncertainty (min ~3e-5 —
+    the sharp-posterior regime: invS2 up to ~1e9). No reference
+    trajectory exists for this config (the shipped GIST.result is a
+    default-uncertainty run), so the oracle is convergence itself:
+    chi^2 must descend to the chi^2/N ~ 1 regime, which requires the
+    local move window (global-uniform moves mix too slowly here —
+    PERF_NOTES.md; reference move semantics:
+    SingleThreadedGibbsSampler.h:192-223)."""
+    z = np.load(os.path.join(DATA, "gist.npz"))
+    D, U = np.asarray(z["D"]), np.asarray(z["uncertainty"])
+    res = CoGAPS(D, n_patterns=7, n_iterations=3000, seed=42,
+                 uncertainty=U, messages=False, output_frequency=500)
+    h = np.asarray(res.diagnostics["chisqHistory"], np.float64)
+    n_pts = D.size
+    # descent: the sampling-phase plateau must sit far below the early
+    # equilibration level, and in the converged chi^2/N band
+    assert h[-1] < 0.6 * h[0], h
+    assert h[-1] / n_pts < 2.0, (h[-1], n_pts)
+    assert res.mean_chi_sq / n_pts < 2.0
