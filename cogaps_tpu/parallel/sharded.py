@@ -418,3 +418,39 @@ class ShardedGapsEngine:
         """Strip gene-axis padding from a gathered result array."""
         return np.asarray(arr)[: self.n_genes_orig]
 
+    # ------------------------------------------------------------------
+    # per-shard checkpointing (VERDICT r3 #10): each process writes only
+    # its addressable shards; resume re-places them on the current mesh.
+    # The single-chip engine's npz checkpoints (utils/checkpoint.py)
+    # cover api runs; these cover the sharded mode the reference lacks.
+    def save_checkpoint(self, path_prefix: str, state, stats, phase: int,
+                        it: int, seed: int) -> str:
+        from .multihost import save_sharded_checkpoint
+        return save_sharded_checkpoint(
+            path_prefix, (state, stats),
+            extra={"phase": np.int32(phase), "iter": np.int32(it),
+                   "seed": np.int64(seed),
+                   "n_blocks": np.int32(self.n_blocks),
+                   "n_genes": np.int64(self.n_genes_orig),
+                   "n_samples": np.int64(self.n_samples),
+                   "k": np.int32(self.config.n_patterns)})
+
+    def load_checkpoint(self, path_prefix: str):
+        """Returns (state, stats, phase, iter, seed) re-placed on this
+        engine's mesh. The device count may DIFFER from the saving
+        run's — block state is device-count-independent."""
+        import glob
+        from .multihost import load_sharded_checkpoint
+        like = (jax.device_get(self.init_state()),
+                jax.device_get(self.init_stats()))
+        state, stats = load_sharded_checkpoint(path_prefix, like)
+        z = np.load(sorted(glob.glob(f"{path_prefix}.shard*.npz"))[0])
+        if int(z["extra_n_blocks"]) != self.n_blocks:
+            raise ValueError(
+                f"checkpoint has n_blocks={int(z['extra_n_blocks'])}, "
+                f"engine has {self.n_blocks}")
+        return (self._put(state, self.state_spec),
+                self._put(stats, self.stats_spec),
+                int(z["extra_phase"]), int(z["extra_iter"]),
+                int(z["extra_seed"]))
+
