@@ -56,9 +56,15 @@ def test_modsim_golden_equilibrium(modsim_golden):
     golden_eq = float(np.mean(g["golden_chisqHistory"][2:]))
     hist = res.diagnostics["chisqHistory"]
     ours_eq = float(np.mean(hist[len(hist) // 2:]))
-    # equilibrium chi^2 within 2x of the reference's plateau
-    assert ours_eq < 2.0 * golden_eq, (ours_eq, golden_eq)
-    assert res.mean_chi_sq < 2.5 * golden_mcs, (res.mean_chi_sq,
+    # measured band (round 4): ours_eq/golden_eq over 4 seeds at 1500
+    # iterations spans [0.80, 1.08] (the golden plateau's own within-run
+    # sd is ~4%); [0.6, 1.35] is ~4 sigma of that spread and would catch
+    # any likelihood mis-weighting of >35%
+    assert 0.6 * golden_eq < ours_eq < 1.35 * golden_eq, (ours_eq,
+                                                          golden_eq)
+    # meanChiSq (chi^2 of the posterior mean) is mode-dependent on this
+    # multimodal toy: measured seed spread [0.13, 1.26] x golden
+    assert res.mean_chi_sq < 1.8 * golden_mcs, (res.mean_chi_sq,
                                                 golden_mcs)
     # atom counts in the same regime as the reference (~70 A / ~40 P)
     n_a = res.diagnostics["atomHistoryA"][-1]
@@ -106,9 +112,13 @@ def test_gist_golden_pattern_recovery():
     golden_eq = float(np.mean(np.asarray(z["golden_chisqHistory"])[2:]))
     hist = res.diagnostics["chisqHistory"]
     ours_eq = float(np.mean(hist[3 * len(hist) // 4:]))
-    assert ours_eq < 1.5 * golden_eq, (ours_eq, golden_eq)
+    # measured band (round 4): ours_eq/golden_eq = 1.016-1.017 across
+    # seeds — the GIST plateau is tight; 1.15x is ~10x the observed
+    # spread and would catch a ~15% likelihood mis-weighting
+    assert ours_eq < 1.15 * golden_eq, (ours_eq, golden_eq)
     golden_mcs = float(np.asarray(z["golden_meanChiSq"]).reshape(-1)[0])
-    assert res.mean_chi_sq < 2.0 * golden_mcs
+    # measured: 1.07-1.11 x golden across seeds
+    assert res.mean_chi_sq < 1.4 * golden_mcs
     cors = best_perm_corr(res.Pmean, np.asarray(z["golden_Pmean"]))
     assert np.median(cors) > 0.8, cors
     assert (cors > 0.5).all(), cors
