@@ -22,8 +22,7 @@ def synth_coo(n_genes, n_cells, nnz_per_cell, rng):
     padding up by orders of magnitude. Real atlas ingestion should
     bucket such rows (documented limitation; the memory plan assumes
     nnz-proportional storage)."""
-    gene_w = rng.lognormal(0.0, 1.0, n_genes)
-    gene_w = np.minimum(gene_w, np.quantile(gene_w, 0.999) * 1.0)
+    gene_w = rng.lognormal(0.0, 0.3, n_genes)
     gene_w /= gene_w.sum()
     nnz = int(n_cells * nnz_per_cell)
     rows = rng.choice(n_genes, nnz, p=gene_w).astype(np.int32)
