@@ -149,9 +149,9 @@ def run_iteration(cfg: EngineConfig, consts_a: SamplerConsts,
     else:
         temp = jnp.float32(1.0)
 
-    n_a = gaps_rng.poisson(
+    n_a = gaps_rng.poisson_fast(
         kpa, jnp.maximum(state.atoms_a.n, 10).astype(jnp.float32))
-    n_p = gaps_rng.poisson(
+    n_p = gaps_rng.poisson_fast(
         kpp, jnp.maximum(state.atoms_p.n, 10).astype(jnp.float32))
 
     atoms_a, M_a = state.atoms_a, state.M_a
@@ -541,9 +541,9 @@ def run_iteration_batch(cfg: EngineConfig, consts_a: SamplerConsts,
     else:
         temp = jnp.float32(1.0)
 
-    n_a = jax.vmap(lambda k, n: gaps_rng.poisson(
+    n_a = jax.vmap(lambda k, n: gaps_rng.poisson_fast(
         k, jnp.maximum(n, 10).astype(jnp.float32)))(kpa, state.atoms_a.n)
-    n_p = jax.vmap(lambda k, n: gaps_rng.poisson(
+    n_p = jax.vmap(lambda k, n: gaps_rng.poisson_fast(
         k, jnp.maximum(n, 10).astype(jnp.float32)))(kpp, state.atoms_p.n)
 
     atoms_a, M_a = state.atoms_a, state.M_a

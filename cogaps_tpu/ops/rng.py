@@ -81,6 +81,22 @@ def poisson(key, lam):
     return jax.random.poisson(key, lam, dtype=jnp.int32)
 
 
+def poisson_fast(key, lam):
+    """Budget-draw approximation: round(N(lam, sqrt(lam))), clipped at
+    0. Used ONLY for the per-iteration update budget (GapsRunner.cpp:
+    293-296) on the engine fast paths: the budget sets how much work an
+    iteration does, not the chain's stationary distribution (any
+    positive budget sequence leaves the sampler exact), and
+    jax.random.poisson's rejection loop costs ~0.1 ms per draw on this
+    backend — a measurable share of a ~2 ms iteration. The sharded
+    engine keeps the exact draw (its determinism contract pins
+    trajectories)."""
+    z = jax.random.normal(key, jnp.shape(lam))
+    return jnp.maximum(
+        jnp.round(lam + jnp.sqrt(jnp.maximum(lam, 0.0)) * z), 0.0
+    ).astype(jnp.int32)
+
+
 def log_uniform(u):
     """log(U) used for Metropolis accepts (reference: e.g.
     SingleThreadedGibbsSampler.h:175,217). Guarded against log(0)."""

@@ -71,9 +71,9 @@ def run_iteration_sparse(cfg: EngineConfig, consts_a: SamplerConsts,
     else:
         temp = jnp.float32(1.0)
 
-    n_a = gaps_rng.poisson(
+    n_a = gaps_rng.poisson_fast(
         kpa, jnp.maximum(state.atoms_a.n, 10).astype(jnp.float32))
-    n_p = gaps_rng.poisson(
+    n_p = gaps_rng.poisson_fast(
         kpp, jnp.maximum(state.atoms_p.n, 10).astype(jnp.float32))
 
     atoms_a, M_a = state.atoms_a, state.M_a

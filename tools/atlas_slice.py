@@ -61,7 +61,8 @@ def main():
     print("memory plan:", plan, flush=True)
 
     params = CogapsParams(n_patterns=k, n_iterations=1000, seed=1,
-                          output_frequency=0, sparse_optimization=True)
+                          output_frequency=0, sparse_optimization=True,
+                          )
     cfg = params.engine_config(n_genes, n_cells)
     coo = CooMatrix(rows=rows, cols=cols, vals=vals,
                     shape=(n_genes, n_cells))
@@ -72,16 +73,17 @@ def main():
     key = jax.random.PRNGKey(1)
     print(f"engine built in {time.time()-t0:.0f}s", flush=True)
 
-    # warmup (compile) + short measured run
+    # warmup (compile + atom growth toward the working regime)
     t0 = time.time()
-    state, stats = eng.run_phase(state, stats, key, 0, 0, 2)
+    warm = int(os.environ.get("ATLAS_WARM", "60"))
+    state, stats = eng.run_phase(state, stats, key, 0, 0, warm)
     s = jax.device_get(stats)
-    print(f"compile+2it in {time.time()-t0:.0f}s", flush=True)
+    print(f"compile+{warm}it in {time.time()-t0:.0f}s", flush=True)
     base_upd = (int(np.sum(np.asarray(s.upd_hi, np.int64))) << 30) + int(
         np.sum(np.asarray(s.upd_lo, np.int64)))
 
     t0 = time.perf_counter()
-    state, stats = eng.run_phase(state, stats, key, 0, 2, 2 + iters)
+    state, stats = eng.run_phase(state, stats, key, 0, warm, warm + iters)
     s = jax.device_get(stats)
     dt = time.perf_counter() - t0
     total_upd = (int(np.sum(np.asarray(s.upd_hi, np.int64))) << 30) + int(
@@ -96,7 +98,10 @@ def main():
     except Exception:
         pass
 
+    n_atoms = int(np.sum(np.asarray(
+        jax.device_get(state).atoms_a.n)))
     out = {
+        "atoms_a_at_measurement": n_atoms,
         "config": f"{n_genes}x{n_cells} k={k} nnz={len(vals)}",
         "iters_measured": iters,
         "elapsed_s": round(dt, 2),
