@@ -310,7 +310,8 @@ class _Phase:
 
 
 def _sweep_b(consts: SamplerConsts, uni, tri, state,
-             temp, n_steps_f, lam, mgm, phase: _Phase, zt: bool):
+             temp, n_steps_f, lam, mgm, phase: _Phase, zt: bool,
+             zt_rowmajor: bool = False):
     """One batched sweep over (NCH, B) lanes for NCH independent
     chains. `state` = (mass2, elem2, M, Y, n_f, done_f, c0..c8) with
     per-chain scalars shaped (NCH, 1). Mirrors ops/sweep.sweep exactly
@@ -479,7 +480,34 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     smu2 = sel(A2, Q, ohq2)
     old2 = sel(A2, 2 * Q, ohq2)
 
-    if zt:
+    if zt and zt_rowmajor:
+        # NR <= 128 sampler with the Z table stored ROW-MAJOR as
+        # (128 row-sublanes, k*k lanes): Z2[r, j*K + c'] = Z[r, j, c']
+        # (symmetric in (j, c')). Gather the full k x k row block by a
+        # row one-hot, then zrow[j] = sum_c' Z2row[j*K + c'] ohc[c'] —
+        # the in-kernel rebuild (ops/pallas_iter.py) produces exactly
+        # this layout without any relayout.
+        il2 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE, B), 1
+                                       ).astype(F32)
+        ohs1 = (il2 == r1[:, None, :]).astype(BF16)
+        ohs2 = (il2 == r2[:, None, :]).astype(BF16)
+        Az1 = Az2 = None
+        for z_p in phase.WZ_parts:
+            d1z = _bdot(z_p, ohs1, 1, 1)  # (NCH, K*K, B)
+            d2z = _bdot(z_p, ohs2, 1, 1)
+            Az1 = d1z if Az1 is None else Az1 + d1z
+            Az2 = d2z if Az2 is None else Az2 + d2z
+
+        def zselr(Azs, ohc_):
+            return jnp.concatenate(
+                [jnp.sum(Azs[:, j * K:(j + 1) * K] * ohc_,
+                         axis=1)[:, None, :] for j in range(K)],
+                axis=1)
+
+        zrow1 = zselr(Az1, ohc1)
+        zrow2 = zselr(Az2, ohc2)
+        x = jnp.sum(zrow1 * ohc2, axis=1)
+    elif zt:
         # large-m sampler (m > k^2, e.g. the P side whose reduction
         # axis is the gene dimension): the pair/Y-update row comes
         # from the precomputed Z table (NB, k) in c'-major slab form —

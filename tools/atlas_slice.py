@@ -62,7 +62,10 @@ def main():
 
     params = CogapsParams(n_patterns=k, n_iterations=1000, seed=1,
                           output_frequency=0, sparse_optimization=True,
-                          )
+                          # ~1.5 s/iteration at this scale: keep each
+                          # dispatched program short of the device
+                          # watchdog (PERF_NOTES.md)
+                          dispatch_iters=8)
     cfg = params.engine_config(n_genes, n_cells)
     coo = CooMatrix(rows=rows, cols=cols, vals=vals,
                     shape=(n_genes, n_cells))
