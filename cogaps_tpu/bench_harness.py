@@ -47,8 +47,10 @@ def run_throughput(D: np.ndarray, params: CogapsParams, n_chains: int = 16,
         # inside the timed region (it is tiny next to the run)
         return state, jax.device_get(stats)
 
-    # warmup: absorb compilation of both phase programs
-    wu_stop = min(8, params.n_iterations)
+    # warmup: absorb compilation of both phase programs — must cover a
+    # FULL dispatch span (the fused span runner compiles per span
+    # length, parallel/multichain.py)
+    wu_stop = min(cfg.dispatch_iters, params.n_iterations)
     st, ss = eng.init_state(), eng.init_stats()
     st, ss = eng.run_phase(st, ss, keys, EQUILIBRATION, 0, wu_stop)
     st, ss = eng.run_phase(st, ss, keys, SAMPLING, 0, wu_stop)
