@@ -906,37 +906,6 @@ def run_updates_pallas(key, atoms: AtomTable, M, cache, temp, n_steps,
             counts)
 
 
-def run_updates_pallas_full(key, atoms: AtomTable, M, cache, temp,
-                            n_steps, consts: SamplerConsts,
-                            mass: MassParams, *, phase, invS2, other_M,
-                            s_max: int = 48, interpret: bool = False):
-    """run_updates_pallas with an outer while_loop so the full n_steps
-    budget is always processed even when one kernel call's s_max sweeps
-    fall short (Poisson tails). The uniform streams continue the global
-    sweep numbering, matching ops/sweep.run_updates exactly."""
-
-    def cond(c):
-        return c[0] < n_steps
-
-    def body(c):
-        done, off, atoms, M, cache, cnts = c
-        a2, M2, c2, d2, ns2, cnt2 = run_updates_pallas(
-            key, atoms, M, cache, temp, n_steps - done, consts, mass,
-            phase=phase, invS2=invS2, other_M=other_M, s_max=s_max,
-            interpret=interpret, sweep_offset=off)
-        cnts = SweepCounts(processed=cnts.processed + cnt2.processed,
-                           accepted=cnts.accepted + cnt2.accepted)
-        return (done + d2, off + ns2, a2, M2, c2, cnts)
-
-    zc = SweepCounts(processed=jnp.zeros((4,), jnp.int32),
-                     accepted=jnp.zeros((4,), jnp.int32))
-    init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), atoms, M,
-            cache, zc)
-    done, n_sweeps, atoms, M, cache, cnts = jax.lax.while_loop(
-        cond, body, init)
-    return atoms, M, cache, done, n_sweeps, cnts
-
-
 def run_updates_pallas_multi(keys, atoms: AtomTable, M, cache, temp,
                              n_steps, consts: SamplerConsts,
                              mass: MassParams, *, invS2, other_M,
