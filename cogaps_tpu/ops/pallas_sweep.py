@@ -390,7 +390,9 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
         value q? v*m are sentinel-masked j-side values, (NCH, B)."""
         c = ((v1m[:, :, None] == q[:, None, :])
              | (v2m[:, :, None] == q[:, None, :])) & mask3
-        return jnp.max(c.astype(F32), axis=1) > 0.0
+        # bf16 reduce halves the (NCH, B, B) transient; the final
+        # compare runs in f32 (bf16-sourced i1 layouts are rejected)
+        return jnp.max(c.astype(BF16), axis=1).astype(F32) > 0.0
 
     iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, B, B), 1)
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (1, B, B), 2)
@@ -428,30 +430,34 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     rl1 = r1 - rh1 * LANE
     rh2 = jnp.floor(r2 / LANE)
     rl2 = r2 - rh2 * LANE
-    il = jax.lax.broadcasted_iota(jnp.int32, (1, LANE, 2 * B), 1
+    il = jax.lax.broadcasted_iota(jnp.int32, (1, LANE, B), 1
                                   ).astype(F32)
-    rl_cat = jnp.concatenate([rl1, rl2], axis=1)  # (NCH, 2B)
-    ohrl_cat = (il == rl_cat[:, None, :]).astype(BF16)
+    ohrl1_b = (il == rl1[:, None, :]).astype(BF16)
+    ohrl2_b = (il == rl2[:, None, :]).astype(BF16)
 
     Y_parts = _split3(Y)
     M_parts = _split3(M)
-    A = None
+    # one gather matmul-set per row-stream (NOT lane-concatenated: the
+    # (NCH, 3Q+mRH, 2B) form doubles the peak-VMEM transient)
+    A1 = A2 = None
     for sq_p, wz_p, y_p, m_p in zip(phase.SQ_parts, phase.WZ_parts,
                                     Y_parts, M_parts):
         if zt:
             stack = jnp.concatenate([sq_p, y_p, m_p], axis=2)
         else:
             stack = jnp.concatenate([sq_p, y_p, m_p, wz_p], axis=2)
-        d = _bdot(stack, ohrl_cat, 1, 1)  # (NCH, 3Q[+m*RH], 2B)
-        A = d if A is None else A + d
-    A1, A2 = A[:, :, :B], A[:, :, B:]
+        d1g = _bdot(stack, ohrl1_b, 1, 1)  # (NCH, 3Q[+m*RH], B)
+        d2g = _bdot(stack, ohrl2_b, 1, 1)
+        A1 = d1g if A1 is None else A1 + d1g
+        A2 = d2g if A2 is None else A2 + d2g
 
     iota_q = jax.lax.broadcasted_iota(jnp.int32, (1, Q, B), 1
                                       ).astype(F32)
     q1 = rh1 * K + c1
     q2 = rh2 * K + c2
-    ohq1 = (iota_q == q1[:, None, :]).astype(F32)
-    ohq2 = (iota_q == q2[:, None, :]).astype(F32)
+    # bf16 selection masks: 0/1 exact, halves the (NCH, Q, B) footprint
+    ohq1 = (iota_q == q1[:, None, :]).astype(F32).astype(BF16)
+    ohq2 = (iota_q == q2[:, None, :]).astype(F32).astype(BF16)
     iota_rh = jax.lax.broadcasted_iota(jnp.int32, (1, RH, B), 1
                                        ).astype(F32)
     ohrh1 = (iota_rh == rh1[:, None, :]).astype(F32)
@@ -630,26 +636,26 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     # over the rh-block is dM = actual at column c and dY = -actual *
     # zrow at all k columns; both streams' scatters run as ONE
     # lane-concatenated transport contraction.
-    ohrhK1 = (jnp.floor(iota_q / K) == rh1[:, None, :]).astype(F32)
-    ohrhK2 = (jnp.floor(iota_q / K) == rh2[:, None, :]).astype(F32)
-    valqs = []
-    for dd, vm, old, ohc, ohrhK, zrow in (
-            (d1, v1m, old1, ohc1, ohrhK1, zrow1),
-            (d2, v2m, old2, ohc2, ohrhK2, zrow2)):
+    ohrhK1 = (jnp.floor(iota_q / K) == rh1[:, None, :]).astype(F32
+                                                               ).astype(BF16)
+    ohrhK2 = (jnp.floor(iota_q / K) == rh2[:, None, :]).astype(F32
+                                                               ).astype(BF16)
+    dT = None
+    for dd, vm, old, ohc, ohrhK, zrow, ohrl_b in (
+            (d1, v1m, old1, ohc1, ohrhK1, zrow1, ohrl1_b),
+            (d2, v2m, old2, ohc2, ohrhK2, zrow2, ohrl2_b)):
         actual = jnp.where(vm, jnp.maximum(old + dd, 0.0) - old, 0.0)
         val_m = ohc * actual[:, None, :]  # (NCH, K, B)
         val_y = -zrow * actual[:, None, :]
         tiled = jnp.concatenate(
             [jnp.concatenate([val_m] * RH, axis=1),
              jnp.concatenate([val_y] * RH, axis=1)], axis=1)  # (NCH,2Q,B)
-        valqs.append(tiled * jnp.concatenate([ohrhK, ohrhK], axis=1))
-    valq_cat = jnp.concatenate(valqs, axis=2)  # (NCH, 2Q, 2B)
-    dT = None
-    for part in _split3(valq_cat):
-        d = jax.lax.dot_general(
-            ohrl_cat, part, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=F32)  # (NCH, 128, 2Q)
-        dT = d if dT is None else dT + d
+        valq = tiled * jnp.concatenate([ohrhK, ohrhK], axis=1)
+        for part in _split3(valq):
+            d = jax.lax.dot_general(
+                ohrl_b, part, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=F32)  # (NCH, 128, 2Q)
+            dT = d if dT is None else dT + d
     M = M + dT[:, :, :Q]
     Y = Y + dT[:, :, Q:]
 

@@ -258,7 +258,7 @@ class CogapsParams:
             # capacity, so the table is kept as small as safely
             # possible (atom_capacity_a/p override when a dataset runs
             # hotter — the capacity guard blocks births at the brim)
-            return max(1 << 12, min(1 << 22, _next_pow2(n_bins) // 2))
+            return max(1 << 10, min(1 << 22, _next_pow2(n_bins) // 2))
 
         return EngineConfig(
             n_patterns=k,
