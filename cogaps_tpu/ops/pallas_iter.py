@@ -39,10 +39,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .atoms import AtomTable
-from .sweep import MassParams, SamplerConsts, SweepCounts
-from .pallas_sweep import (BF16, F32, LANE, _bdot, _lanesum, _ndtri,
-                           _split3, _sweep_b, _tri, slab_shape, to_slab,
-                           from_slab, _rup)
+from .sweep import MassParams, SamplerConsts
+from .pallas_sweep import (F32, LANE, _bdot, _ndtri, _split3, _sweep_b,
+                           _tri, slab_shape, _rup)
 
 HI = jax.lax.Precision.HIGHEST
 

@@ -42,7 +42,7 @@ and iota must be integer-typed), all verified on-device
     Z[r, c, c'] = sum_m o_mc o_mc' invS2[r, m]);
   * proposal semantics are IDENTICAL to ops/sweep.py (same pre-drawn
     threefry uniforms, same type/selection/accept formulas, same
-    first-wins-rows + first-wins/uncontested-atoms conflict rule, same
+    first-wins-rows + first-wins-atoms conflict rule, same
     compact-table swap-with-back compaction), so the XLA sweep is this
     kernel's differential oracle (tests/test_pallas_sweep.py runs the
     kernel in interpret mode against it).
@@ -58,8 +58,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from ..ops import rng as gaps_rng
 from ..ops.atoms import AtomTable
-from ..ops.sweep import (MassParams, SamplerConsts, SweepCounts,
-                         atoms_first_wins)
+from ..ops.sweep import MassParams, SamplerConsts, SweepCounts
 
 LANE = 128
 F32 = jnp.float32
@@ -378,9 +377,9 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     uses2 = is_move | is_exch
     uses_a1 = is_death | is_move | is_exch
 
-    # ---- conflict resolution: match-matrix earlier/other-lane tests.
-    # Identical keep set to ops/sweep._keep: rows exact first-wins;
-    # atoms first-wins (small samplers) or uncontested-only (large).
+    # ---- conflict resolution: match-matrix earlier-lane tests.
+    # Identical keep set to ops/sweep._keep: exact first-wins on rows
+    # and atoms.
     # Claiming lanes are encoded by SENTINEL values (inactive streams
     # hold negative sentinels that match no real index), so the 3-D
     # work is pure bool compare/AND/OR + one max-reduce per test — no
@@ -397,7 +396,6 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, B, B), 1)
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (1, B, B), 2)
     earlier = iota_j < iota_i
-    other_l = iota_j != iota_i
 
     r1m = jnp.where(active, r1, -1.0)
     r2m = jnp.where(active & uses2, r2, -3.0)
@@ -406,10 +404,8 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
 
     a1m = jnp.where(active & uses_a1, a1c, -1.0)
     a2m = jnp.where(active & is_exch, a2c, -3.0)
-    # first-wins: earlier lanes block; uncontested: any OTHER lane blocks
-    amask = earlier if atoms_first_wins(consts) else other_l
-    keep &= ~uses_a1 | ~blocked(a1m, a2m, a1c, amask)
-    keep &= ~is_exch | ~blocked(a1m, a2m, a2c, amask)
+    keep &= ~uses_a1 | ~blocked(a1m, a2m, a1c, earlier)
+    keep &= ~is_exch | ~blocked(a1m, a2m, a2c, earlier)
 
     # capacity guard + budget truncation (inclusive prefix via tri)
     pre_birth_rank = mm_rank((keep & is_birth).astype(F32), tri)

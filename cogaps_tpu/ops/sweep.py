@@ -29,16 +29,13 @@ dynamic gathers/scatters inside large XLA programs lower to serialized
 custom-calls at ~100-170us each on that backend (PERF_NOTES.md), so the
 kernel keeps every table VMEM-resident.
 
-Conflict resolution (_keep, mirrored exactly by the kernel): rows use
-exact first-wins (min-lane per row); atoms use first-wins when the
-capacity x batch masked-min is affordable (the tiny P sampler —
-ops/sweep.atoms_first_wins) and the uncontested-only rule otherwise (a
-lane survives iff NO other lane touches its atoms; int32 scatter-min
-hangs this backend's compiler at capacity scale). Both rules are
-deterministic, keep only mutually non-conflicting proposals, and thin
-contested entities like the reference's queue does (a contested row
-processes at most one proposal per sweep) — equilibrium behavior is
-validated against the reference's shipped golden results
+Conflict resolution (_keep, mirrored exactly by the kernel): exact
+first-wins on rows AND atoms (earliest active lane per row/slot wins;
+ops/sweep.atoms_first_wins documents why first-wins everywhere). The
+rule is deterministic, keeps only mutually non-conflicting proposals,
+and thins contested entities like the reference's queue does (a
+contested row processes at most one proposal per sweep) — equilibrium
+behavior is validated against the reference's shipped golden results
 (tests/test_golden.py).
 
 Proposal kernels replicate SingleThreadedGibbsSampler.h exactly at the
@@ -191,17 +188,11 @@ def _keep(active, r1, r2, uses2, a1, uses_a1, a2, uses_a2,
 
     * rows — exact first-wins: lane i survives iff it is the EARLIEST
       active lane touching each of its rows (min-lane per row);
-    * atoms — exact first-wins (min-lane per slot) when the capacity x
-      batch product is small (the tiny P sampler: a masked min-reduce is
-      affordable); uncontested-only otherwise — lane i survives iff no
-      OTHER lane touches its atoms (per-slot occupancy counts; a
-      capacity-sized scatter-min hangs this backend's compiler).
+    * atoms — exact first-wins per slot (ops/sweep.atoms_first_wins).
 
-    Both rules are deterministic and the kept set is mutually
-    conflict-free; atom contention thins slightly more than first-wins
-    would (a contested atom processes zero proposals that sweep instead
-    of one — the next sweep redraws). The Pallas sweep kernel implements
-    the identical rule so CPU and TPU paths agree."""
+    The rule is deterministic and the kept set is mutually
+    conflict-free. The Pallas sweep kernel implements the identical
+    rule (via match-matrices) so CPU and TPU paths agree."""
     B = r1.shape[0]
     lane = jnp.arange(B, dtype=jnp.int32)
     NRs = consts.n_rows  # sentinel row index (dropped)
@@ -215,33 +206,18 @@ def _keep(active, r1, r2, uses2, a1, uses_a1, a2, uses_a2,
     ok = rmin[r1] >= lane_f
     ok &= jnp.where(uses2, rmin[r2] >= lane_f, True)
 
-    if atoms_first_wins(consts):
-        # exact first-wins on atoms (f32 scatter-min is fine on the CPU
-        # backend where the XLA sweep runs)
-        amin = jnp.full((consts.capacity + 1,), float(B), jnp.float32)
-        amin = amin.at[jnp.where(active & uses_a1, a1,
-                                 consts.capacity)].min(lane_f, mode="drop")
-        amin = amin.at[jnp.where(active & uses_a2, a2,
-                                 consts.capacity)].min(lane_f, mode="drop")
-        ok &= jnp.where(uses_a1,
-                        amin[jnp.minimum(a1, consts.capacity)] >= lane_f,
-                        True)
-        ok &= jnp.where(uses_a2,
-                        amin[jnp.minimum(a2, consts.capacity)] >= lane_f,
-                        True)
-        return active & ok
-
-    # atom occupancy counts
-    one = jnp.float32(1.0)
-    atab = jnp.zeros((consts.capacity + 1,), jnp.float32)
-    atab = atab.at[jnp.where(active & uses_a1, a1, consts.capacity)].add(
-        one, mode="drop")
-    atab = atab.at[jnp.where(active & uses_a2, a2, consts.capacity)].add(
-        one, mode="drop")
-    # a1 != a2 by construction (distinct ranks), so own contribution is 1
-    ok &= jnp.where(uses_a1, atab[jnp.minimum(a1, consts.capacity)] <= one,
+    # exact first-wins on atoms (f32 scatter-min is fine on the CPU
+    # backend where the XLA sweep runs)
+    amin = jnp.full((consts.capacity + 1,), float(B), jnp.float32)
+    amin = amin.at[jnp.where(active & uses_a1, a1,
+                             consts.capacity)].min(lane_f, mode="drop")
+    amin = amin.at[jnp.where(active & uses_a2, a2,
+                             consts.capacity)].min(lane_f, mode="drop")
+    ok &= jnp.where(uses_a1,
+                    amin[jnp.minimum(a1, consts.capacity)] >= lane_f,
                     True)
-    ok &= jnp.where(uses_a2, atab[jnp.minimum(a2, consts.capacity)] <= one,
+    ok &= jnp.where(uses_a2,
+                    amin[jnp.minimum(a2, consts.capacity)] >= lane_f,
                     True)
     return active & ok
 

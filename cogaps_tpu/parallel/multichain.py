@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..engine import (ChainState, DeviceData, HistConfig, RunStats,  # noqa
+from ..engine import (ChainState, DeviceData, RunStats,  # noqa
                       derive_hist, init_chain_state, init_run_stats,
                       build_consts, run_iteration)
 from ..models import dense

@@ -21,7 +21,7 @@ from flax import struct
 
 from .engine import (EQUILIBRATION, HistConfig, RunStats, accumulate_stats,
                      derive_hist, init_run_stats)
-from .models import dense, sparse
+from .models import sparse
 from .ops import rng as gaps_rng
 from .ops.atoms import AtomTable, init_atoms
 from .ops.sweep import MassParams, SamplerConsts, make_consts, run_updates
