@@ -221,7 +221,9 @@ def calc_gene_gs_stat(result: CogapsResult, gs_to_genes: Sequence[str],
     ZD = z[rows]
     denom = gs_stat.sum()
     if denom < 1e-6:
-        return np.zeros(0)
+        # degenerate weights: empty mapping (consistent dict return type;
+        # compute_gene_gs_prob iterates .values())
+        return {}
     out = (ZD * gs_stat[None, :]).sum(axis=1) / denom
     row_sum = ZD.sum(axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -311,3 +311,91 @@ class SparseShardedEngine:
 
     def trim(self, arr: np.ndarray) -> np.ndarray:
         return np.asarray(arr)[: self.n_genes_orig]
+
+    # ------------------------------------------------------------------
+    # per-shard checkpointing — parity with ShardedEngine/Multichain
+    # (the reference checkpoints everything stateful,
+    # src/GapsRunner.cpp:225-270; atlas runs are the LONGEST runs, so
+    # this path needs it most). The A-sampler atom tables are
+    # device-local (elem = local_row * k + c), so resume on a DIFFERENT
+    # device count re-bins them through global element ids on the host.
+    def save_checkpoint(self, path_prefix: str, state, stats, phase: int,
+                        it: int, seed: int) -> str:
+        from .multihost import save_sharded_checkpoint
+        return save_sharded_checkpoint(
+            path_prefix, (state, stats),
+            extra={"phase": np.int32(phase), "iter": np.int32(it),
+                   "seed": np.int64(seed),
+                   "n_dev": np.int32(self.n_dev),
+                   "g_local": np.int64(self.g_local),
+                   "cap_a_local": np.int64(self.cap_a_local),
+                   "n_genes": np.int64(self.n_genes_orig),
+                   "n_samples": np.int64(self.n_samples),
+                   "k": np.int32(self.config.n_patterns)})
+
+    def load_checkpoint(self, path_prefix: str):
+        """Returns (state, stats, phase, iter, seed) re-placed on this
+        engine's mesh. The device count may differ from the saving
+        run's; A atoms are re-binned to the new gene shards."""
+        import glob
+        from .multihost import load_sharded_checkpoint
+        like = (jax.device_get(self.init_state()),
+                jax.device_get(self.init_stats()))
+        # stats shapes are device-count independent; state atom tables
+        # are not — load raw shards and reassemble by stored metadata
+        z = np.load(sorted(glob.glob(f"{path_prefix}.shard*.npz"))[0])
+        for name, mine in (("n_genes", self.n_genes_orig),
+                           ("n_samples", self.n_samples),
+                           ("k", self.config.n_patterns)):
+            if int(z[f"extra_{name}"]) != int(mine):
+                raise ValueError(
+                    f"checkpoint {name}={int(z[f'extra_{name}'])} does "
+                    f"not match engine {name}={mine}")
+        old_ndev = int(z["extra_n_dev"])
+        old_gloc = int(z["extra_g_local"])
+        old_cap = int(z["extra_cap_a_local"])
+        state, stats = load_sharded_checkpoint(path_prefix, like)
+        if old_ndev != self.n_dev:
+            state = self._rebin_atoms_a(state, old_ndev, old_gloc,
+                                        old_cap)
+        return (self._put(state, self.state_spec),
+                self._put(stats, self.stats_spec),
+                int(z["extra_phase"]), int(z["extra_iter"]),
+                int(z["extra_seed"]))
+
+    def _rebin_atoms_a(self, state, old_ndev: int, old_gloc: int,
+                       old_cap: int):
+        """Re-shard the device-local A atom tables onto this engine's
+        device count (host-side; local elem -> global elem -> new local)."""
+        k = self.config.n_patterns
+        mass = np.asarray(state.atoms_a.mass).reshape(old_ndev, old_cap)
+        elem = np.asarray(state.atoms_a.elem).reshape(old_ndev, old_cap)
+        ns = np.asarray(state.atoms_a.n).reshape(old_ndev)
+        g_elem, g_mass = [], []
+        for d in range(old_ndev):
+            nd = int(ns[d])
+            le = elem[d, :nd].astype(np.int64)
+            g_elem.append(le + d * old_gloc * k)  # global element id
+            g_mass.append(mass[d, :nd])
+        g_elem = (np.concatenate(g_elem) if g_elem
+                  else np.zeros(0, np.int64))
+        g_mass = (np.concatenate(g_mass) if g_mass
+                  else np.zeros(0, np.float32))
+        new_mass = np.zeros((self.n_dev, self.cap_a_local), np.float32)
+        new_elem = np.full((self.n_dev, self.cap_a_local), -1, np.int32)
+        new_n = np.zeros((self.n_dev,), np.int32)
+        dev = g_elem // (self.g_local * k)
+        loc = g_elem - dev * (self.g_local * k)
+        for d in range(self.n_dev):
+            m = dev == d
+            cnt = int(m.sum())
+            if cnt > self.cap_a_local:
+                raise ValueError(
+                    f"shard {d} needs {cnt} atom slots, capacity is "
+                    f"{self.cap_a_local}")
+            new_elem[d, :cnt] = loc[m].astype(np.int32)
+            new_mass[d, :cnt] = g_mass[m]
+            new_n[d] = cnt
+        return state.replace(atoms_a=AtomTable(
+            mass=new_mass.reshape(-1), elem=new_elem.reshape(-1),
+            n=new_n))

@@ -149,3 +149,17 @@ def test_plots_render(result, modsim, tmp_path):
     for i, f in enumerate(figs):
         f.savefig(tmp_path / f"fig{i}.png")
     assert all((tmp_path / f"fig{i}.png").exists() for i in range(len(figs)))
+
+
+def test_calc_gene_gs_stat_degenerate_weights_returns_dict(result):
+    """Degenerate gene-set weights must return an (empty) dict — the
+    same type as the normal branch — so compute_gene_gs_prob's
+    .values() iteration cannot crash (VERDICT r4 weak #6)."""
+    from unittest import mock
+    planted = [result.gene_names[i] for i in range(4)]
+    # force the permutation statistic to 1.0 => gs_stat == -log(1) == 0
+    with mock.patch.object(
+            analysis, "calc_cogaps_stat",
+            return_value={"GSUpreg": np.ones((1, len(planted)))}):
+        out = analysis.calc_gene_gs_stat(result, planted, num_perm=10)
+    assert out == {}
