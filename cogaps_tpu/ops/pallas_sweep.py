@@ -310,7 +310,7 @@ class _Phase:
 
 def _sweep_b(consts: SamplerConsts, uni, tri, state,
              temp, n_steps_f, lam, mgm, phase: _Phase, zt: bool,
-             zt_rowmajor: bool = False):
+             zt_rowmajor: bool = False, ablate: frozenset = frozenset()):
     """One batched sweep over (NCH, B) lanes for NCH independent
     chains. `state` = (mass2, elem2, M, Y, n_f, done_f, c0..c8) with
     per-chain scalars shaped (NCH, 1). Mirrors ops/sweep.sweep exactly
@@ -351,10 +351,14 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     e_birth = jnp.minimum(jnp.floor(ui2 * NB), float(NB - 1))
 
     # both atom picks through ONE lane-concatenated transport
-    t_a12 = _BT(jnp.concatenate([a1c, a2c], axis=1), C)
-    elem_a12, m12 = t_a12.gather2(elem2f, mass2)
-    elem_a1, elem_a2 = elem_a12[:, :B], elem_a12[:, B:]
-    m1g, m2 = m12[:, :B], m12[:, B:]
+    if "picks" in ablate:  # ablation probe: constant picks
+        elem_a1 = elem_a2 = a1c % float(NB)
+        m1g = m2 = jnp.abs(u2) + 0.5
+    else:
+        t_a12 = _BT(jnp.concatenate([a1c, a2c], axis=1), C)
+        elem_a12, m12 = t_a12.gather2(elem2f, mass2)
+        elem_a1, elem_a2 = elem_a12[:, :B], elem_a12[:, B:]
+        m1g, m2 = m12[:, :B], m12[:, B:]
     m1 = jnp.where(is_birth, 0.0, m1g)
     elem1 = jnp.where(is_birth, e_birth, jnp.maximum(elem_a1, 0.0))
     if consts.local_moves:
@@ -397,15 +401,18 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (1, B, B), 2)
     earlier = iota_j < iota_i
 
-    r1m = jnp.where(active, r1, -1.0)
-    r2m = jnp.where(active & uses2, r2, -3.0)
-    keep = active & ~blocked(r1m, r2m, r1, earlier)
-    keep &= ~uses2 | ~blocked(r1m, r2m, r2, earlier)
+    if "conflict" in ablate:  # ablation probe: keep everything
+        keep = active
+    else:
+        r1m = jnp.where(active, r1, -1.0)
+        r2m = jnp.where(active & uses2, r2, -3.0)
+        keep = active & ~blocked(r1m, r2m, r1, earlier)
+        keep &= ~uses2 | ~blocked(r1m, r2m, r2, earlier)
 
-    a1m = jnp.where(active & uses_a1, a1c, -1.0)
-    a2m = jnp.where(active & is_exch, a2c, -3.0)
-    keep &= ~uses_a1 | ~blocked(a1m, a2m, a1c, earlier)
-    keep &= ~is_exch | ~blocked(a1m, a2m, a2c, earlier)
+        a1m = jnp.where(active & uses_a1, a1c, -1.0)
+        a2m = jnp.where(active & is_exch, a2c, -3.0)
+        keep &= ~uses_a1 | ~blocked(a1m, a2m, a1c, earlier)
+        keep &= ~is_exch | ~blocked(a1m, a2m, a2c, earlier)
 
     # capacity guard + budget truncation (inclusive prefix via tri)
     pre_birth_rank = mm_rank((keep & is_birth).astype(F32), tri)
@@ -436,16 +443,17 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     # one gather matmul-set per row-stream (NOT lane-concatenated: the
     # (NCH, 3Q+mRH, 2B) form doubles the peak-VMEM transient)
     A1 = A2 = None
-    for sq_p, wz_p, y_p, m_p in zip(phase.SQ_parts, phase.WZ_parts,
-                                    Y_parts, M_parts):
-        if zt:
-            stack = jnp.concatenate([sq_p, y_p, m_p], axis=2)
-        else:
-            stack = jnp.concatenate([sq_p, y_p, m_p, wz_p], axis=2)
-        d1g = _bdot(stack, ohrl1_b, 1, 1)  # (NCH, 3Q[+m*RH], B)
-        d2g = _bdot(stack, ohrl2_b, 1, 1)
-        A1 = d1g if A1 is None else A1 + d1g
-        A2 = d2g if A2 is None else A2 + d2g
+    if "gather" not in ablate:
+        for sq_p, wz_p, y_p, m_p in zip(phase.SQ_parts, phase.WZ_parts,
+                                        Y_parts, M_parts):
+            if zt:
+                stack = jnp.concatenate([sq_p, y_p, m_p], axis=2)
+            else:
+                stack = jnp.concatenate([sq_p, y_p, m_p, wz_p], axis=2)
+            d1g = _bdot(stack, ohrl1_b, 1, 1)  # (NCH, 3Q[+m*RH], B)
+            d2g = _bdot(stack, ohrl2_b, 1, 1)
+            A1 = d1g if A1 is None else A1 + d1g
+            A2 = d2g if A2 is None else A2 + d2g
 
     iota_q = jax.lax.broadcasted_iota(jnp.int32, (1, Q, B), 1
                                       ).astype(F32)
@@ -466,6 +474,24 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     def sel(As, lo, ohq_):
         return jnp.sum(As[:, lo:lo + Q] * ohq_, axis=1)
 
+    if "gather" in ablate:  # ablation probe: constant alpha terms
+        s1 = 1.0 + u_gibbs
+        smu1 = u_exp
+        old1 = u_acc
+        s2 = 1.0 + u_acc
+        smu2 = u_exp * 0.5
+        old2 = u_gibbs
+        x = u_exp * 0.25
+        zrow1 = jnp.broadcast_to(u_gibbs[:, None, :] * 0.1,
+                                 (u_gibbs.shape[0], K, B))
+        zrow2 = zrow1 * 0.5
+        same_row = (r1 == r2).astype(F32)
+        s_pair = s1 + s2 - 2.0 * x * same_row
+        smu_pair = smu1 - smu2
+        _gather_ablated = True
+    else:
+        _gather_ablated = False
+
     def wrow(As, ohrh_):
         # invS2 row components: j-major contiguous RH slices. With a
         # single row-slab (RH == 1) the slab IS the row directly.
@@ -475,14 +501,17 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
             [jnp.sum(As[:, 3 * Q + j * RH:3 * Q + (j + 1) * RH] * ohrh_,
                      axis=1)[:, None, :] for j in range(m_)], axis=1)
 
-    s1 = sel(A1, 0, ohq1)
-    smu1 = sel(A1, Q, ohq1)
-    old1 = sel(A1, 2 * Q, ohq1)
-    s2 = sel(A2, 0, ohq2)
-    smu2 = sel(A2, Q, ohq2)
-    old2 = sel(A2, 2 * Q, ohq2)
+    if not _gather_ablated:
+        s1 = sel(A1, 0, ohq1)
+        smu1 = sel(A1, Q, ohq1)
+        old1 = sel(A1, 2 * Q, ohq1)
+        s2 = sel(A2, 0, ohq2)
+        smu2 = sel(A2, Q, ohq2)
+        old2 = sel(A2, 2 * Q, ohq2)
 
-    if zt and zt_rowmajor:
+    if _gather_ablated:
+        pass
+    elif zt and zt_rowmajor:
         # NR <= 128 sampler with the Z table stored ROW-MAJOR as
         # (128 row-sublanes, k*k lanes): Z2[r, j*K + c'] = Z[r, j, c']
         # (symmetric in (j, c')). Gather the full k x k row block by a
@@ -555,9 +584,10 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
         x = jnp.sum(o1 * o2 * W1, axis=1)
         zrow1 = _bdot(phase.other, o1 * W1, 1, 1, _PREC)  # (NCH, k, B)
         zrow2 = _bdot(phase.other, o2 * W2, 1, 1, _PREC)
-    same_row = (r1 == r2).astype(F32)
-    s_pair = s1 + s2 - 2.0 * x * same_row
-    smu_pair = smu1 - smu2
+    if not _gather_ablated:
+        same_row = (r1 == r2).astype(F32)
+        s_pair = s1 + s2 - 2.0 * x * same_row
+        smu_pair = smu1 - smu2
 
     can1 = jnp.sum(phase.colnz * ohc1, axis=1) > 0.5
     can2 = jnp.sum(phase.colnz * ohc2, axis=1) > 0.5
@@ -566,9 +596,16 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     rel1 = jnp.abs(smu1) > 0.0
     rel_pair = jnp.abs(smu_pair) > 0.0
 
+    if "acc" in ablate:  # ablation probe: cheap stand-in draws
+        def _gm_ab(u, s, smu, a, b, lam2=None):
+            return jnp.clip(u * (b - a) + a + smu * 0.0, a, b), s > 0.0
+        gm_fn = _gm_ab
+    else:
+        gm_fn = _gibbs_mass
+
     # birth lane
-    g_mass, g_ok = _gibbs_mass(u_gibbs, s1 * temp, smu1 * temp, 0.0, mgm,
-                               lam)
+    g_mass, g_ok = gm_fn(u_gibbs, s1 * temp, smu1 * temp, 0.0, mgm,
+                         lam)
     e_mass = -jnp.log(jnp.maximum(u_exp, F32(1e-30))) / lam
     b_mass = jnp.where(can1, g_mass, e_mass)
     b_has = ~can1 | (g_ok & rel1)
@@ -578,7 +615,7 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     d_s = s1 * temp
     d_smu = (smu1 + m1 * s1) * temp
     rel_d = jnp.abs(smu1 + m1 * s1) > 0.0
-    d_gm, d_gok = _gibbs_mass(u_gibbs, d_s, d_smu, 0.0, mgm, lam)
+    d_gm, d_gok = gm_fn(u_gibbs, d_s, d_smu, 0.0, mgm, lam)
     rebirth = jnp.where(can1 & d_gok & rel_d, d_gm, m1)
     dll_death = rebirth * (d_smu - d_s * rebirth * 0.5)
     death_rebirth = is_death & (log_u < dll_death)
@@ -595,17 +632,20 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     # a truncated shape-2 gamma, auto-accepted, matrix untouched
     # (reference: ProposalQueue.cpp:267-277, Random.cpp:194-200) —
     # identical formula to ops/rng.trunc_gamma2_y
-    x_mass, x_ok = _gibbs_mass(u_gibbs, p_s, p_smu, -m1, m2)
+    x_mass, x_ok = gm_fn(u_gibbs, p_s, p_smu, -m1, m2)
     b_sb = jnp.maximum((m1 + m2) * lam, F32(1e-6))
-    upper_sb = 1.0 - jnp.exp(-b_sb) * (1.0 + b_sb)
-    q_sb = jnp.maximum(u_gibbs * upper_sb, F32(1e-12))
-    y_sb = jnp.clip(jnp.sqrt(2.0 * q_sb), 1e-6, b_sb)
-    for _ in range(12):
-        ey = jnp.exp(-y_sb)
-        h_sb = 1.0 - ey * (1.0 + y_sb)
-        dh = jnp.maximum(ey * y_sb, F32(1e-30))
-        y_sb = jnp.clip(y_sb - (h_sb - q_sb) / dh, 1e-7, b_sb)
-    new_sb = y_sb / lam
+    if "acc" in ablate:
+        new_sb = (m1 + m2) * u_gibbs
+    else:
+        upper_sb = 1.0 - jnp.exp(-b_sb) * (1.0 + b_sb)
+        q_sb = jnp.maximum(u_gibbs * upper_sb, F32(1e-12))
+        y_sb = jnp.clip(jnp.sqrt(2.0 * q_sb), 1e-6, b_sb)
+        for _ in range(12):
+            ey = jnp.exp(-y_sb)
+            h_sb = 1.0 - ey * (1.0 + y_sb)
+            dh = jnp.maximum(ey * y_sb, F32(1e-30))
+            y_sb = jnp.clip(y_sb - (h_sb - q_sb) / dh, 1e-7, b_sb)
+        new_sb = y_sb / lam
     d_sb = jnp.where(m1 > m2, new_sb - m1, m2 - new_sb)
     same_f = same_elem.astype(F32)
     nm1 = m1 + same_f * d_sb + (1.0 - same_f) * x_mass
@@ -636,26 +676,42 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
                                                                ).astype(BF16)
     ohrhK2 = (jnp.floor(iota_q / K) == rh2[:, None, :]).astype(F32
                                                                ).astype(BF16)
-    dT = None
-    for dd, vm, old, ohc, ohrhK, zrow, ohrl_b in (
-            (d1, v1m, old1, ohc1, ohrhK1, zrow1, ohrl1_b),
-            (d2, v2m, old2, ohc2, ohrhK2, zrow2, ohrl2_b)):
-        actual = jnp.where(vm, jnp.maximum(old + dd, 0.0) - old, 0.0)
-        val_m = ohc * actual[:, None, :]  # (NCH, K, B)
-        val_y = -zrow * actual[:, None, :]
-        tiled = jnp.concatenate(
-            [jnp.concatenate([val_m] * RH, axis=1),
-             jnp.concatenate([val_y] * RH, axis=1)], axis=1)  # (NCH,2Q,B)
-        valq = tiled * jnp.concatenate([ohrhK, ohrhK], axis=1)
-        for part in _split3(valq):
-            d = jax.lax.dot_general(
-                ohrl_b, part, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=F32)  # (NCH, 128, 2Q)
-            dT = d if dT is None else dT + d
-    M = M + dT[:, :, :Q]
-    Y = Y + dT[:, :, Q:]
+    if "scatter" not in ablate:
+        dT = None
+        for dd, vm, old, ohc, ohrhK, zrow, ohrl_b in (
+                (d1, v1m, old1, ohc1, ohrhK1, zrow1, ohrl1_b),
+                (d2, v2m, old2, ohc2, ohrhK2, zrow2, ohrl2_b)):
+            actual = jnp.where(vm, jnp.maximum(old + dd, 0.0) - old, 0.0)
+            val_m = ohc * actual[:, None, :]  # (NCH, K, B)
+            val_y = -zrow * actual[:, None, :]
+            tiled = jnp.concatenate(
+                [jnp.concatenate([val_m] * RH, axis=1),
+                 jnp.concatenate([val_y] * RH, axis=1)],
+                axis=1)  # (NCH, 2Q, B)
+            valq = tiled * jnp.concatenate([ohrhK, ohrhK], axis=1)
+            for part in _split3(valq):
+                d = jax.lax.dot_general(
+                    ohrl_b, part, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=F32)  # (NCH, 128, 2Q)
+                dT = d if dT is None else dT + d
+        M = M + dT[:, :, :Q]
+        Y = Y + dT[:, :, Q:]
+    else:  # ablation probe: cheap fake update keeps M/Y live
+        M = M + _lanesum(d1)[:, :, None] * 1e-9
+        Y = Y + _lanesum(d2)[:, :, None] * 1e-9
 
     # ---- atom table writes + swap-with-back compaction ----
+    if "atoms" in ablate:  # ablation probe: skip table maintenance
+        mass2 = mass2 + _lanesum(d1)[:, :, None] * 1e-9
+        elem2f = elem2f + _lanesum(d2)[:, :, None] * 0.0
+        n_new = n_f
+        n_processed = _lanesum(keep.astype(F32))
+        sums = [_lanesum(m_.astype(F32)) for m_ in
+                (is_birth, is_death, is_move, is_exch, birth_acc,
+                 death_kill | death_rebirth, move_acc, ex_acc)]
+        new_cs = [cs[0] + 1.0] + [c + s for c, s in zip(cs[1:], sums)]
+        return (mass2, elem2f, M, Y, n_new, done_f + n_processed,
+                *new_cs)
     write_a1 = death_kill | death_rebirth | move_acc | ex_acc
     mass_v1 = jnp.where(death_kill, 0.0,
                         jnp.where(death_rebirth, rebirth,
@@ -727,7 +783,7 @@ def _tri(B):
             ).astype(F32)
 
 
-def _kernel_b(consts, s_max, NCH, use_prng, zt,
+def _kernel_b(consts, s_max, NCH, use_prng, zt, ablate,
               uni_ref, mass_ref, elem_ref, M_ref, Y_ref, SQ_ref,
               invS2_ref, other_ref, scal_ref,
               omass_ref, oelem_ref, oM_ref, oY_ref, ocnt_ref):
@@ -775,7 +831,7 @@ def _kernel_b(consts, s_max, NCH, use_prng, zt,
         else:
             uni = uni_ref[pl.ds(s * 16, 16)]  # (16, NCH, B)
         st = _sweep_b(consts, uni, tri, st, temp,
-                      n_steps_f, lam, mgm, phase, zt)
+                      n_steps_f, lam, mgm, phase, zt, ablate=ablate)
         return (s + 1, st)
 
     z = jnp.zeros((NCH, 1), F32)
@@ -809,7 +865,14 @@ def _call_kernel(uni, atoms: AtomTable, M, Y, SQ, invS2, other_M, scal,
     elem2 = atoms.elem.astype(F32).reshape(NCH, C // LANE, LANE)
 
     zt = use_ztable(consts) or z_flat is not None
-    kern = functools.partial(_kernel_b, consts, s_max, NCH, use_prng, zt)
+    # ablation probe hook (tools/probe_sweep_cost.py): comma-separated
+    # section names in COGAPS_ABLATE stub out kernel sections for
+    # timing attribution; empty (the default) is the real kernel
+    import os
+    ablate = frozenset(
+        filter(None, os.environ.get("COGAPS_ABLATE", "").split(",")))
+    kern = functools.partial(_kernel_b, consts, s_max, NCH, use_prng, zt,
+                             ablate)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((NCH, C // LANE, LANE), F32),
@@ -977,6 +1040,63 @@ def SQ_batched(cache, invS2, other_M):
     """SQ = invS2 @ other^2 per chain (the dense phase table)."""
     return jnp.einsum("crm,cmk->crk", invS2, other_M * other_M,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def run_updates_pallas_tables_multi(keys, atoms: AtomTable, M, temp,
+                                    n_steps, consts: SamplerConsts,
+                                    mass: MassParams, *, SQ, Y0, Z_flat,
+                                    other_M, s_max: int = 32,
+                                    interpret: bool = False):
+    """Batched analog of run_updates_pallas_tables: NCH chains' update
+    calls on caller-provided per-chain tables (the sparse model's
+    SQ/Y0/G — models/sparse.kernel_tables with a leading chain axis),
+    fused into one kernel like run_updates_pallas_multi. Returns
+    (atoms, M, done, n_sweeps, counts), all chain-stacked."""
+    NCH = M.shape[0]
+    B = consts.batch
+    use_prng = not interpret
+    if use_prng:
+        uni = jnp.zeros((16, 8, LANE), F32)
+        seeds = ((keys[:, 0] ^ keys[:, 1]).astype(jnp.int32)
+                 & jnp.int32(0xFFFFFF))
+    else:
+        uni = _draw_uni(keys, jnp.zeros((NCH,), jnp.int32), s_max, NCH, B)
+        seeds = jnp.zeros((NCH,), jnp.int32)
+
+    def mk_scal(n_atoms, budget, off2):
+        return jnp.stack([
+            n_atoms.astype(F32),
+            budget.astype(F32),
+            jnp.broadcast_to(jnp.asarray(temp, F32), (NCH,)),
+            mass.lam.astype(F32).reshape(NCH),
+            mass.max_gibbs_mass.astype(F32).reshape(NCH),
+            (seeds ^ off2).astype(F32),
+        ], axis=1)  # (NCH, 6)
+
+    def call(atoms_b, M_b, Y_b, budget, offs):
+        uni_c = (uni if use_prng
+                 else _draw_uni(keys, offs, s_max, NCH, B))
+        return _call_kernel(
+            uni_c, atoms_b, M_b, Y_b, SQ, SQ, other_M,
+            mk_scal(atoms_b.n, budget, offs), consts, s_max, interpret,
+            use_prng, Z_flat)
+
+    a2, M2, Y2, done, ns, cnt = call(atoms, M, Y0, n_steps,
+                                     jnp.zeros((NCH,), jnp.int32))
+
+    def unfinished(c):
+        return jnp.any(c[3] < n_steps)
+
+    def again(c):
+        a2, M2, Y2, done, ns, cnt = c
+        a3, M3, Y3, d3, ns3, cnt3 = call(a2, M2, Y2, n_steps - done, ns)
+        cnt4 = SweepCounts(processed=cnt.processed + cnt3.processed,
+                           accepted=cnt.accepted + cnt3.accepted)
+        return (a3, M3, Y3, done + d3, ns + ns3, cnt4)
+
+    a2, M2, Y2, done, ns, cnt = jax.lax.while_loop(
+        unfinished, again, (a2, M2, Y2, done, ns, cnt))
+    return a2, M2, done, ns, cnt
 
 
 def run_updates_pallas_tables(key, atoms: AtomTable, M, temp, n_steps,

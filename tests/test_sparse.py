@@ -230,3 +230,74 @@ def test_sparse_tables_kernel_path_runs():
     np.add.at(M_re, e[:n], np.asarray(a2.mass)[:n])
     np.testing.assert_allclose(np.asarray(M2).reshape(-1), M_re,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_tables_kernel_multi_matches_single():
+    """The chain-batched sparse tables kernel
+    (run_updates_pallas_tables_multi, interpret mode) reproduces the
+    single-chain path chain-by-chain — the correctness basis of the
+    concurrent sparse multichain engine (VERDICT r4 #6)."""
+    import jax
+    import jax.numpy as jnp
+    from cogaps_tpu.models import sparse as sp
+    from cogaps_tpu.ops.atoms import AtomTable, total_mass_per_element
+    from cogaps_tpu.ops.pallas_sweep import (
+        run_updates_pallas_tables, run_updates_pallas_tables_multi)
+    from cogaps_tpu.ops.sweep import MassParams, make_consts
+
+    rng = np.random.default_rng(5)
+    G_, S_, k, NCH = 20, 10, 3, 2
+    consts = make_consts(G_, S_, k, 256, 64, 0.01)
+
+    chains = []
+    for ch in range(NCH):
+        D = (rng.gamma(2.0, 1.0, (G_, S_))
+             * (rng.random((G_, S_)) < 0.5)).astype(np.float32)
+        ell = sp.to_ell(D)
+        Wd, D1 = sp.dense_weights(ell, S_)
+        other = jnp.asarray(rng.gamma(2.0, 1.0, (S_, k)), jnp.float32)
+        n0 = 25
+        elem = jnp.asarray(np.where(np.arange(256) < n0,
+                                    rng.integers(0, G_ * k, 256), -1),
+                           jnp.int32)
+        mass = jnp.asarray(np.where(np.arange(256) < n0,
+                                    rng.gamma(2.0, 1.0, 256), 0.0),
+                           jnp.float32)
+        atoms = AtomTable(mass=mass, elem=elem,
+                          n=jnp.asarray(n0, jnp.int32))
+        M = total_mass_per_element(atoms, G_ * k).reshape(G_, k)
+        SQ, Y0, Gf = sp.kernel_tables(Wd, D1, other, M)
+        chains.append(dict(atoms=atoms, M=M, SQ=SQ, Y0=Y0, Gf=Gf,
+                           other=other, key=jax.random.PRNGKey(100 + ch)))
+
+    mp1 = MassParams(lam=jnp.float32(0.05),
+                     max_gibbs_mass=jnp.float32(100.0 / 0.05))
+    singles = [run_updates_pallas_tables(
+        c["key"], c["atoms"], c["M"], jnp.float32(1.0),
+        jnp.asarray(80, jnp.int32), consts, mp1, SQ=c["SQ"], Y0=c["Y0"],
+        Z_flat=c["Gf"], other_M=c["other"], s_max=16, interpret=True)
+        for c in chains]
+
+    stk = lambda name: jnp.stack([c[name] for c in chains])
+    atoms_b = AtomTable(
+        mass=jnp.stack([c["atoms"].mass for c in chains]),
+        elem=jnp.stack([c["atoms"].elem for c in chains]),
+        n=jnp.stack([c["atoms"].n for c in chains]))
+    mpN = MassParams(lam=jnp.full((NCH,), 0.05, jnp.float32),
+                     max_gibbs_mass=jnp.full((NCH,), 100.0 / 0.05,
+                                             jnp.float32))
+    a2, M2, done, ns, cnt = run_updates_pallas_tables_multi(
+        jnp.stack([c["key"] for c in chains]), atoms_b, stk("M"),
+        jnp.float32(1.0), jnp.full((NCH,), 80, jnp.int32), consts, mpN,
+        SQ=stk("SQ"), Y0=stk("Y0"), Z_flat=stk("Gf"),
+        other_M=stk("other"), s_max=16, interpret=True)
+
+    for ch in range(NCH):
+        a1, M1, d1, ns1, cnt1 = singles[ch]
+        assert int(done[ch]) == int(d1) == 80
+        np.testing.assert_array_equal(np.asarray(M2[ch]),
+                                      np.asarray(M1))
+        np.testing.assert_array_equal(np.asarray(a2.mass[ch]),
+                                      np.asarray(a1.mass))
+        np.testing.assert_array_equal(np.asarray(a2.elem[ch]),
+                                      np.asarray(a1.elem))
