@@ -395,7 +395,9 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
              | (v2m[:, :, None] == q[:, None, :])) & mask3
         # bf16 reduce halves the (NCH, B, B) transient; the final
         # compare runs in f32 (bf16-sourced i1 layouts are rejected)
-        return jnp.max(c.astype(BF16), axis=1).astype(F32) > 0.0
+        # f32 result (not bool): lane-slicing i1 vectors trips
+        # Mosaic's vreg bitcasts; callers compare after slicing
+        return jnp.max(c.astype(BF16), axis=1).astype(F32)
 
     # both streams' queries are lane-stacked: ONE (NCH, B, 2B) test per
     # entity class instead of two (NCH, B, B) tests — half the issue
@@ -413,15 +415,15 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
         r2m = jnp.where(active & uses2, r2, -3.0)
         rb = blocked(r1m, r2m, jnp.concatenate([r1, r2], axis=1),
                      earlier2)
-        keep = active & ~rb[:, :B]
-        keep &= ~uses2 | ~rb[:, B:]
+        keep = active & ~(rb[:, :B] > 0.0)
+        keep &= ~uses2 | ~(rb[:, B:] > 0.0)
 
         a1m = jnp.where(active & uses_a1, a1c, -1.0)
         a2m = jnp.where(active & is_exch, a2c, -3.0)
         ab_ = blocked(a1m, a2m, jnp.concatenate([a1c, a2c], axis=1),
                       earlier2)
-        keep &= ~uses_a1 | ~ab_[:, :B]
-        keep &= ~is_exch | ~ab_[:, B:]
+        keep &= ~uses_a1 | ~(ab_[:, :B] > 0.0)
+        keep &= ~is_exch | ~(ab_[:, B:] > 0.0)
 
     # capacity guard + budget truncation (inclusive prefix via tri)
     pre_birth_rank = mm_rank((keep & is_birth).astype(F32), tri)
@@ -634,9 +636,11 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
         jnp.concatenate([zero_b, zero_b, -m1], axis=1),
         jnp.concatenate([mgm_b, mgm_b, m2], axis=1),
         jnp.concatenate([lam_b, lam_b, zero_b], axis=1))
-    g_mass, g_ok = gm_stk[:, :B], gok_stk[:, :B]
-    d_gm, d_gok = gm_stk[:, B:2 * B], gok_stk[:, B:2 * B]
-    x_mass, x_ok = gm_stk[:, 2 * B:], gok_stk[:, 2 * B:]
+    gokf = gok_stk.astype(F32)  # f32 before lane-slicing (i1 slices
+    # trip Mosaic vreg bitcasts)
+    g_mass, g_ok = gm_stk[:, :B], gokf[:, :B] > 0.5
+    d_gm, d_gok = gm_stk[:, B:2 * B], gokf[:, B:2 * B] > 0.5
+    x_mass, x_ok = gm_stk[:, 2 * B:], gokf[:, 2 * B:] > 0.5
 
     # birth lane
     e_mass = -jnp.log(jnp.maximum(u_exp, F32(1e-30))) / lam
@@ -705,7 +709,8 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
         F32).astype(BF16)  # (NCH, Q, 2B)
     if "scatter" not in ablate:
         d12 = jnp.concatenate([d1, d2], axis=1)
-        v12 = jnp.concatenate([v1m, v2m], axis=1)
+        v12 = jnp.concatenate([v1m.astype(F32), v2m.astype(F32)],
+                              axis=1) > 0.5
         old12 = jnp.concatenate([old1, old2], axis=1)
         actual12 = jnp.where(v12, jnp.maximum(old12 + d12, 0.0) - old12,
                              0.0)

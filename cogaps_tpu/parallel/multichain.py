@@ -229,10 +229,13 @@ class MultichainEngine:
                 and not cfg.take_pump_samples
                 and self.n_samples <= 128
                 # VMEM bound: the span kernel's static tables + carry
-                # fit up to 8 fused chains on a v5e core. (A split
-                # per-sampler variant fitting 16 was measured ~5%
-                # SLOWER than the two-call path there: its in-kernel
-                # P-rebuild pays sublane-contraction relayouts.)
+                # fit up to 8 fused chains on a v5e core; at 16 the
+                # scoped allocation is 115.6M vs the 100M limit
+                # (measured round 5 — the 2B-lane merged transports did
+                # not close the gap). (A split per-sampler variant
+                # fitting 16 was measured ~5% SLOWER there: its
+                # in-kernel P-rebuild pays sublane-contraction
+                # relayouts.)
                 and self.n_chains <= 8)
 
     def _fused_span(self, phase: int, n_it: int):

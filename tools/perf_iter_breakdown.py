@@ -171,7 +171,7 @@ def main():
                 lambda i: jax.random.uniform(
                     jax.random.fold_in(kk, i), (16, ck_p.batch),
                     jnp.float32))(jnp.arange(cfg.s_max)))(ks[:, 3])
-            return ks[:, 0] + jnp.int32(uni.mean() * 0 + uniB.mean() * 0)
+            return (ks[:, 0] + jnp.uint32(uni.mean() * 0 + uniB.mean() * 0)).astype(key0.dtype)
         return jax.lax.fori_loop(0, REPS, body, key0)
 
     for name, fn, arg in (("full iter", loop_full, state),
