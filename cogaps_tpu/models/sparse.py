@@ -266,6 +266,57 @@ def kernel_tables(Wd: jnp.ndarray, D1: jnp.ndarray, other: jnp.ndarray,
     return SQ, Y0, G.reshape(NR * k, k)
 
 
+def kernel_tables_ell(ell: EllMatrix, other: jnp.ndarray,
+                      M: jnp.ndarray, row_chunk: int = 4096):
+    """ELL-native build of (SQ, Y0, G_flat) — the same tables as
+    kernel_tables WITHOUT materializing dense (NR x m) weights
+    (VERDICT r4 #5; the reference's sparse model exists precisely to
+    avoid dense storage, src/gibbs_sampler/SparseNormalModel.h:16):
+
+        U[r] = sum_nz w * oo[idx[r, l]],  w = 1 - 1/d^2
+        G[r] = beta * (Z2 - U[r]);  T4[r] = sum_nz (1/d) * other[idx]
+
+    The nonzero gathers run in row chunks under lax.map so the
+    transient (chunk, L, k^2) stays bounded. Feasible whenever the G
+    table (NR * k^2) itself fits device memory — small k (scCoGAPS);
+    the atlas k=50 configuration stays on the sharded XLA path."""
+    NR, L = ell.idx.shape
+    m, k = other.shape
+    prec = jax.lax.Precision.HIGHEST
+    oo = (other[:, :, None] * other[:, None, :]).reshape(m, k * k)
+    Z2 = jnp.dot(other.T, other, preferred_element_type=jnp.float32,
+                 precision=prec)
+    NRp = -(-NR // row_chunk) * row_chunk
+    idx_p = jnp.pad(ell.idx, ((0, NRp - NR), (0, 0)),
+                    constant_values=-1)
+    val_p = jnp.pad(ell.val, ((0, NRp - NR), (0, 0)))
+
+    def chunk(args):
+        idx_c, val_c = args  # (row_chunk, L)
+        mask = idx_c >= 0
+        d = jnp.where(mask, val_c, 1.0)
+        w = jnp.where(mask, 1.0 - 1.0 / (d * d), 0.0)
+        dr = jnp.where(mask, 1.0 / d, 0.0)
+        gi = jnp.maximum(idx_c, 0)
+        oo_rows = oo[gi]  # (row_chunk, L, k^2)
+        U = jnp.einsum("rl,rlq->rq", w, oo_rows,
+                       preferred_element_type=jnp.float32)
+        o_rows = other[gi]  # (row_chunk, L, k)
+        T4 = jnp.einsum("rl,rlk->rk", dr, o_rows,
+                        preferred_element_type=jnp.float32)
+        return U, T4
+
+    U, T4 = jax.lax.map(
+        chunk, (idx_p.reshape(-1, row_chunk, L),
+                val_p.reshape(-1, row_chunk, L)))
+    U = U.reshape(NRp, k * k)[:NR].reshape(NR, k, k)
+    T4 = T4.reshape(NRp, k)[:NR]
+    G = BETA * (Z2[None] - U)
+    SQ = jnp.diagonal(G, axis1=1, axis2=2)
+    Y0 = BETA * T4 - jnp.sum(M[:, None, :] * G, axis=2)
+    return SQ, Y0, G.reshape(NR * k, k)
+
+
 def sparse_chisq(ell_a: EllMatrix, M_a: jnp.ndarray, M_p: jnp.ndarray
                  ) -> jnp.ndarray:
     """Closed-form chi^2 (reference: SparseNormalModel.cpp:39-60), regrouped

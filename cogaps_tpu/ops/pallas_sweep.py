@@ -393,17 +393,16 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
         value q? v*m are sentinel-masked j-side values, (NCH, B)."""
         c = ((v1m[:, :, None] == q[:, None, :])
              | (v2m[:, :, None] == q[:, None, :])) & mask3
-        # bf16 reduce halves the (NCH, B, B) transient; the final
-        # compare runs in f32 (bf16-sourced i1 layouts are rejected)
-        # f32 result (not bool): lane-slicing i1 vectors trips
-        # Mosaic's vreg bitcasts; callers compare after slicing
+        # bf16 reduce halves the transient; f32 result (not bool):
+        # lane-slicing i1 vectors trips Mosaic's vreg bitcasts, so
+        # callers compare after slicing
         return jnp.max(c.astype(BF16), axis=1).astype(F32)
 
-    # both streams' queries are lane-stacked: ONE (NCH, B, 2B) test per
+    # both streams' queries lane-stacked: ONE (NCH, B, 2B) test per
     # entity class instead of two (NCH, B, B) tests — half the issue
-    # count for the same element volume (the block is issue-bound).
-    # earlier2[j, i] = j < (i mod B): lane i and lane B+i are the same
-    # proposal's two streams (B is a power of two, so mod is a mask)
+    # count for the same element volume. earlier2[j, i] = j < (i mod
+    # B): lane i and lane B+i are the same proposal's two streams
+    # (B is a power of two, so mod is a mask)
     iota_j2 = jax.lax.broadcasted_iota(jnp.int32, (1, B, 2 * B), 1)
     iota_i2 = jax.lax.broadcasted_iota(jnp.int32, (1, B, 2 * B), 2)
     earlier2 = iota_j2 < (iota_i2 & (B - 1))
@@ -444,17 +443,16 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     rl1 = r1 - rh1 * LANE
     rh2 = jnp.floor(r2 / LANE)
     rl2 = r2 - rh2 * LANE
-    il2B = jax.lax.broadcasted_iota(jnp.int32, (1, LANE, 2 * B), 1
-                                    ).astype(F32)
-    rl12 = jnp.concatenate([rl1, rl2], axis=1)  # (NCH, 2B)
-    ohrl12_b = (il2B == rl12[:, None, :]).astype(BF16)
+    il = jax.lax.broadcasted_iota(jnp.int32, (1, LANE, B), 1
+                                  ).astype(F32)
+    ohrl1_b = (il == rl1[:, None, :]).astype(BF16)
+    ohrl2_b = (il == rl2[:, None, :]).astype(BF16)
 
     Y_parts = _split3(Y)
     M_parts = _split3(M)
-    # one gather matmul-set for BOTH row-streams (lanes stacked to 2B:
-    # 3 transport matmuls instead of 6; the stream split happens on the
-    # cheap VPU-side selections below)
-    A12 = None
+    # one gather matmul-set per row-stream (NOT lane-concatenated: the
+    # (NCH, 3Q+mRH, 2B) form doubles the peak-VMEM transient)
+    A1 = A2 = None
     if "gather" not in ablate:
         for sq_p, wz_p, y_p, m_p in zip(phase.SQ_parts, phase.WZ_parts,
                                         Y_parts, M_parts):
@@ -462,27 +460,29 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
                 stack = jnp.concatenate([sq_p, y_p, m_p], axis=2)
             else:
                 stack = jnp.concatenate([sq_p, y_p, m_p, wz_p], axis=2)
-            d12 = _bdot(stack, ohrl12_b, 1, 1)  # (NCH, 3Q[+m*RH], 2B)
-            A12 = d12 if A12 is None else A12 + d12
+            d1g = _bdot(stack, ohrl1_b, 1, 1)  # (NCH, 3Q[+m*RH], B)
+            d2g = _bdot(stack, ohrl2_b, 1, 1)
+            A1 = d1g if A1 is None else A1 + d1g
+            A2 = d2g if A2 is None else A2 + d2g
 
-    iota_q2 = jax.lax.broadcasted_iota(jnp.int32, (1, Q, 2 * B), 1
-                                       ).astype(F32)
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (1, Q, B), 1
+                                      ).astype(F32)
     q1 = rh1 * K + c1
     q2 = rh2 * K + c2
-    rh12 = jnp.concatenate([rh1, rh2], axis=1)  # (NCH, 2B)
-    # bf16 selection masks: 0/1 exact, halves the (NCH, Q, 2B) footprint
-    ohq12 = (iota_q2 == jnp.concatenate([q1, q2], axis=1)[:, None, :]
-             ).astype(F32).astype(BF16)
-    iota_rh2 = jax.lax.broadcasted_iota(jnp.int32, (1, RH, 2 * B), 1
-                                        ).astype(F32)
-    ohrh12 = (iota_rh2 == rh12[:, None, :]).astype(F32)
+    # bf16 selection masks: 0/1 exact, halves the (NCH, Q, B) footprint
+    ohq1 = (iota_q == q1[:, None, :]).astype(F32).astype(BF16)
+    ohq2 = (iota_q == q2[:, None, :]).astype(F32).astype(BF16)
+    iota_rh = jax.lax.broadcasted_iota(jnp.int32, (1, RH, B), 1
+                                       ).astype(F32)
+    ohrh1 = (iota_rh == rh1[:, None, :]).astype(F32)
+    ohrh2 = (iota_rh == rh2[:, None, :]).astype(F32)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, K, B), 1
                                       ).astype(F32)
     ohc1 = (iota_k == c1[:, None, :]).astype(F32)
     ohc2 = (iota_k == c2[:, None, :]).astype(F32)
 
-    def sel12(lo):
-        return jnp.sum(A12[:, lo:lo + Q] * ohq12, axis=1)  # (NCH, 2B)
+    def sel(As, lo, ohq_):
+        return jnp.sum(As[:, lo:lo + Q] * ohq_, axis=1)
 
     if "gather" in ablate:  # ablation probe: constant alpha terms
         s1 = 1.0 + u_gibbs
@@ -502,24 +502,22 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     else:
         _gather_ablated = False
 
-    def wrow12():
-        # invS2 row components for both streams: j-major contiguous RH
-        # slices of the stacked gather. With a single row-slab
-        # (RH == 1) the slab IS the row directly.
+    def wrow(As, ohrh_):
+        # invS2 row components: j-major contiguous RH slices. With a
+        # single row-slab (RH == 1) the slab IS the row directly.
         if RH == 1:
-            return A12[:, 3 * Q:]
+            return As[:, 3 * Q:]
         return jnp.concatenate(
-            [jnp.sum(A12[:, 3 * Q + j * RH:3 * Q + (j + 1) * RH]
-                     * ohrh12, axis=1)[:, None, :] for j in range(m_)],
-            axis=1)  # (NCH, m, 2B)
+            [jnp.sum(As[:, 3 * Q + j * RH:3 * Q + (j + 1) * RH] * ohrh_,
+                     axis=1)[:, None, :] for j in range(m_)], axis=1)
 
     if not _gather_ablated:
-        s12 = sel12(0)
-        smu12 = sel12(Q)
-        old12v = sel12(2 * Q)
-        s1, s2 = s12[:, :B], s12[:, B:]
-        smu1, smu2 = smu12[:, :B], smu12[:, B:]
-        old1, old2 = old12v[:, :B], old12v[:, B:]
+        s1 = sel(A1, 0, ohq1)
+        smu1 = sel(A1, Q, ohq1)
+        old1 = sel(A1, 2 * Q, ohq1)
+        s2 = sel(A2, 0, ohq2)
+        smu2 = sel(A2, Q, ohq2)
+        old2 = sel(A2, 2 * Q, ohq2)
 
     if _gather_ablated:
         pass
@@ -589,8 +587,8 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
             zrow2 = zsel(Az2, ohz2)
         x = jnp.sum(zrow1 * ohc2, axis=1)
     else:
-        W12 = wrow12()  # (NCH, m, 2B)
-        W1, W2 = W12[:, :, :B], W12[:, :, B:]
+        W1 = wrow(A1, ohrh1)  # (NCH, m, B)
+        W2 = wrow(A2, ohrh2)
         o1 = _bdot(phase.other, ohc1, 2, 1, _PREC)  # (NCH, m, B)
         o2 = _bdot(phase.other, ohc2, 2, 1, _PREC)
         x = jnp.sum(o1 * o2 * W1, axis=1)
@@ -615,13 +613,13 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     else:
         gm_fn = _gibbs_mass
 
-    # ---- all three Gibbs-mass draws (birth / death-rebirth / exchange)
-    # as ONE stacked truncated-normal evaluation on (NCH, 3B) lanes.
-    # Elementwise formulas are lane-local, so every lane's value is
-    # bitwise identical to three separate calls, at a third of the
-    # instruction count (the acc block is op-issue-bound; lam = 0 for
-    # the exchange segment reproduces the lambda-free gibbsMass form,
-    # reference: AlphaParameters.cpp:27-48) ----
+    # ---- all three Gibbs-mass draws (birth / death-rebirth /
+    # exchange) as ONE stacked truncated-normal evaluation on
+    # (NCH, 3B) lanes. Elementwise formulas are lane-local, so every
+    # lane's value is bitwise identical to three separate calls at a
+    # third of the instruction count; lam = 0 for the exchange segment
+    # reproduces the lambda-free gibbsMass form (reference:
+    # AlphaParameters.cpp:27-48) ----
     d_s = s1 * temp
     d_smu = (smu1 + m1 * s1) * temp
     p_s = s_pair * temp
@@ -636,8 +634,8 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
         jnp.concatenate([zero_b, zero_b, -m1], axis=1),
         jnp.concatenate([mgm_b, mgm_b, m2], axis=1),
         jnp.concatenate([lam_b, lam_b, zero_b], axis=1))
-    gokf = gok_stk.astype(F32)  # f32 before lane-slicing (i1 slices
-    # trip Mosaic vreg bitcasts)
+    gokf = gok_stk.astype(F32)  # f32 before lane-slicing (i1 lane
+    # slices trip Mosaic's vreg bitcasts)
     g_mass, g_ok = gm_stk[:, :B], gokf[:, :B] > 0.5
     d_gm, d_gok = gm_stk[:, B:2 * B], gokf[:, B:2 * B] > 0.5
     x_mass, x_ok = gm_stk[:, 2 * B:], gokf[:, 2 * B:] > 0.5
@@ -703,32 +701,28 @@ def _sweep_b(consts: SamplerConsts, uni, tri, state,
     # over the rh-block is dM = actual at column c and dY = -actual *
     # zrow at all k columns; both streams' scatters run as ONE
     # lane-concatenated transport contraction.
-    # both streams lane-stacked into ONE 2B-lane transport contraction
-    # (3 matmuls instead of 6; mask/tile builds once on 2B-wide tensors)
-    ohrhK12 = (jnp.floor(iota_q2 / K) == rh12[:, None, :]).astype(
-        F32).astype(BF16)  # (NCH, Q, 2B)
+    ohrhK1 = (jnp.floor(iota_q / K) == rh1[:, None, :]).astype(F32
+                                                               ).astype(BF16)
+    ohrhK2 = (jnp.floor(iota_q / K) == rh2[:, None, :]).astype(F32
+                                                               ).astype(BF16)
     if "scatter" not in ablate:
-        d12 = jnp.concatenate([d1, d2], axis=1)
-        v12 = jnp.concatenate([v1m.astype(F32), v2m.astype(F32)],
-                              axis=1) > 0.5
-        old12 = jnp.concatenate([old1, old2], axis=1)
-        actual12 = jnp.where(v12, jnp.maximum(old12 + d12, 0.0) - old12,
-                             0.0)
-        ohc12 = jnp.concatenate([ohc1, ohc2], axis=2)  # (NCH, K, 2B)
-        zrow12 = jnp.concatenate([zrow1, zrow2], axis=2)
-        val_m = ohc12 * actual12[:, None, :]
-        val_y = -zrow12 * actual12[:, None, :]
-        tiled = jnp.concatenate(
-            [jnp.concatenate([val_m] * RH, axis=1),
-             jnp.concatenate([val_y] * RH, axis=1)],
-            axis=1)  # (NCH, 2Q, 2B)
-        valq = tiled * jnp.concatenate([ohrhK12, ohrhK12], axis=1)
         dT = None
-        for part in _split3(valq):
-            d = jax.lax.dot_general(
-                ohrl12_b, part, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=F32)  # (NCH, 128, 2Q)
-            dT = d if dT is None else dT + d
+        for dd, vm, old, ohc, ohrhK, zrow, ohrl_b in (
+                (d1, v1m, old1, ohc1, ohrhK1, zrow1, ohrl1_b),
+                (d2, v2m, old2, ohc2, ohrhK2, zrow2, ohrl2_b)):
+            actual = jnp.where(vm, jnp.maximum(old + dd, 0.0) - old, 0.0)
+            val_m = ohc * actual[:, None, :]  # (NCH, K, B)
+            val_y = -zrow * actual[:, None, :]
+            tiled = jnp.concatenate(
+                [jnp.concatenate([val_m] * RH, axis=1),
+                 jnp.concatenate([val_y] * RH, axis=1)],
+                axis=1)  # (NCH, 2Q, B)
+            valq = tiled * jnp.concatenate([ohrhK, ohrhK], axis=1)
+            for part in _split3(valq):
+                d = jax.lax.dot_general(
+                    ohrl_b, part, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=F32)  # (NCH, 128, 2Q)
+                dT = d if dT is None else dT + d
         M = M + dT[:, :, :Q]
         Y = Y + dT[:, :, Q:]
     else:  # ablation probe: cheap fake update keeps M/Y live

@@ -313,3 +313,8 @@ class EngineConfig:
     # matmuls single-pass-exact)
     s_max: int = 32
     pallas_max_batch: int = 256
+    # sparse table-builder mode, resolved by the sparse engines from
+    # data size: "dense" (Wd fast path), "ell" (ELL-native builder —
+    # no dense weights, VERDICT r4 #5), "xla" (sweep fallback).
+    # None = unresolved (dense engines ignore it).
+    sparse_table_mode: Optional[str] = None

@@ -41,8 +41,20 @@ class SparseDeviceData(NamedTuple):
 
 
 # dense-weight fast path bound: 2 arrays of this many f32s (the 10k-cell
-# scCoGAPS config is ~2e8; atlas-scale stays on the sharded XLA path)
+# scCoGAPS config is ~2e8); beyond it the ELL-native table builder
+# (models/sparse.kernel_tables_ell) keeps the fused kernel without
+# dense weights as long as the G tables ((G + S) * k^2) fit; only past
+# THAT does the engine fall to the XLA sweep (atlas k=50 sharded runs)
 _FAST_PATH_MAX_ELEMS = 250_000_000
+_ELL_TABLE_MAX_ELEMS = 300_000_000
+
+
+def _resolve_sparse_mode(n_genes: int, n_samples: int, k: int) -> str:
+    if n_genes * n_samples <= _FAST_PATH_MAX_ELEMS:
+        return "dense"
+    if (n_genes + n_samples) * k * k <= _ELL_TABLE_MAX_ELEMS:
+        return "ell"
+    return "xla"
 
 
 @struct.dataclass
@@ -83,14 +95,19 @@ def run_iteration_sparse(cfg: EngineConfig, consts_a: SamplerConsts,
     obs_a = obs_p = None
 
     from .engine import _resolve_use_pallas, _pallas_batch
-    use_pallas = _resolve_use_pallas(cfg) and data.Wd_a is not None
+    mode = cfg.sparse_table_mode or (
+        "dense" if data.Wd_a is not None else "xla")
+    use_pallas = _resolve_use_pallas(cfg) and mode != "xla"
 
     def run_upd(k2, atoms, M, n_upd, consts, mparams, ell, Wd, D1,
                 other):
         if use_pallas:
             from .ops.pallas_sweep import run_updates_pallas_tables
             ck = consts._replace(batch=_pallas_batch(consts.batch, cfg))
-            SQ, Y0, G = sparse.kernel_tables(Wd, D1, other, M)
+            if mode == "ell":
+                SQ, Y0, G = sparse.kernel_tables_ell(ell, other, M)
+            else:
+                SQ, Y0, G = sparse.kernel_tables(Wd, D1, other, M)
             atoms, M, done, ns, cnt = run_updates_pallas_tables(
                 k2, atoms, M, temp, n_upd, ck, mparams,
                 SQ=SQ, Y0=Y0, Z_flat=G, other_M=other,
@@ -182,7 +199,9 @@ def run_iteration_sparse_batch(cfg: EngineConfig, consts_a, consts_p,
     done_a = jnp.zeros((NCH,), jnp.int32)
     done_p = jnp.zeros((NCH,), jnp.int32)
     obs_a = obs_p = None
-    use_pallas = _resolve_use_pallas(cfg) and data.Wd_a is not None
+    mode = cfg.sparse_table_mode or (
+        "dense" if data.Wd_a is not None else "xla")
+    use_pallas = _resolve_use_pallas(cfg) and mode != "xla"
     interp = jax.default_backend() == "cpu"
 
     def run_upd(keys2, atoms, M, n_upd, consts, mparams, ell, Wd, D1,
@@ -190,7 +209,14 @@ def run_iteration_sparse_batch(cfg: EngineConfig, consts_a, consts_p,
         if use_pallas:
             from .ops.pallas_sweep import run_updates_pallas_tables_multi
             ck = consts._replace(batch=_pallas_batch(consts.batch, cfg))
-            SQ, Y0, G = jax.vmap(sparse.kernel_tables)(Wd, D1, other, M)
+            if mode == "ell":
+                SQ, Y0, G = jax.vmap(
+                    lambda i, v, o, m2: sparse.kernel_tables_ell(
+                        sparse.EllMatrix(idx=i, val=v), o, m2))(
+                    ell.idx, ell.val, other, M)
+            else:
+                SQ, Y0, G = jax.vmap(sparse.kernel_tables)(Wd, D1,
+                                                           other, M)
             return run_updates_pallas_tables_multi(
                 keys2, atoms, M, temp, n_upd, ck, mparams,
                 SQ=SQ, Y0=Y0, Z_flat=G, other_M=other,
@@ -428,14 +454,18 @@ class SparseGapsEngine:
             ell_a = sparse.to_ell(D)
             ell_p = sparse.to_ell(D.T)
             self.data_sparsity = sparse.sparsity(D)
-        self.config = config
-        self.hist = derive_hist(config)
         k = config.n_patterns
+        mode = config.sparse_table_mode or _resolve_sparse_mode(
+            self.n_genes, self.n_samples, k)
+        import dataclasses as _dc
+        self.config = config = _dc.replace(config,
+                                           sparse_table_mode=mode)
+        self.hist = derive_hist(config)
 
         lam_a = float(config.alpha_a) * float(np.sqrt(k / nnz_mean))
         lam_p = float(config.alpha_p) * float(np.sqrt(k / nnz_mean))
         self.lam_a, self.lam_p = lam_a, lam_p
-        if self.n_genes * self.n_samples <= _FAST_PATH_MAX_ELEMS:
+        if mode == "dense":
             Wd_a, D1_a = sparse.dense_weights(ell_a, self.n_samples)
         else:
             Wd_a = D1_a = None

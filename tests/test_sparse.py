@@ -301,3 +301,50 @@ def test_sparse_tables_kernel_multi_matches_single():
                                       np.asarray(a1.mass))
         np.testing.assert_array_equal(np.asarray(a2.elem[ch]),
                                       np.asarray(a1.elem))
+
+
+def test_kernel_tables_ell_matches_dense_weights():
+    """The ELL-native table builder (no dense weights — VERDICT r4 #5)
+    reproduces the dense-weight builder's SQ/Y0/G tables."""
+    import jax.numpy as jnp
+    from cogaps_tpu.models import sparse as sp
+
+    rng = np.random.default_rng(7)
+    G_, S_, k = 40, 15, 4
+    D = (rng.gamma(2.0, 1.0, (G_, S_))
+         * (rng.random((G_, S_)) < 0.4)).astype(np.float32)
+    ell = sp.to_ell(D)
+    Wd, D1 = sp.dense_weights(ell, S_)
+    other = jnp.asarray(rng.gamma(2.0, 1.0, (S_, k)), jnp.float32)
+    M = jnp.asarray(rng.gamma(1.0, 1.0, (G_, k)), jnp.float32)
+    SQ_d, Y0_d, G_d = sp.kernel_tables(Wd, D1, other, M)
+    SQ_e, Y0_e, G_e = sp.kernel_tables_ell(ell, other, M, row_chunk=16)
+    np.testing.assert_allclose(np.asarray(SQ_e), np.asarray(SQ_d),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(Y0_e), np.asarray(Y0_d),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(G_e), np.asarray(G_d),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_sparse_ell_mode_end_to_end(sparse_data):
+    """Force the ELL-native table mode through a full run: same API
+    surface, sound factorization, no dense weights built."""
+    import dataclasses
+    import jax
+    from cogaps_tpu.engine import EQUILIBRATION, SAMPLING
+    from cogaps_tpu.params import CogapsParams
+    from cogaps_tpu.sparse_engine import SparseGapsEngine
+
+    params = CogapsParams(n_patterns=3, n_iterations=200, seed=3,
+                          output_frequency=50)
+    cfg = dataclasses.replace(params.engine_config(*sparse_data.shape),
+                              sparse_table_mode="ell")
+    eng = SparseGapsEngine(sparse_data, cfg)
+    assert eng.data.Wd_a is None  # never densified
+    st, ss = eng.init_state(), eng.init_stats()
+    key = jax.random.PRNGKey(3)
+    st, ss = eng.run_phase(st, ss, key, EQUILIBRATION)
+    st, ss = eng.run_phase(st, ss, key, SAMPLING)
+    h = np.asarray(jax.device_get(ss).chisq_hist)
+    assert h[-1] < 0.5 * h[0]
