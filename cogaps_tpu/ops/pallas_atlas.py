@@ -325,7 +325,9 @@ def _sweep_atlas(consts: SamplerConsts, ap: AtlasParams, uni, tri, state,
         [sv2, st2, msum, esum, svd2, svdr2, smsame, sesame, apg, pad]
         (pair columns zero when want_pair is False)."""
         # validity per cell: column lane, position < len, chunk active
-        pos = ((chk_off + rowpos) * 2 + half).astype(F32)  # (GS,128)?
+        # global nonzero position of each cell: chunk base + row
+        # within segment, two nonzeros per plane row
+        pos = ((chk_off * SEG + rowpos) * 2 + half).astype(F32)
         okc = (pos < len_blk) & (nch_blk > chk_off.astype(F32))
         vm = vmask_col * okc.astype(F32)
         dr_e = _matvec(gbuf * dr_mask * lo_half * okc.astype(F32))

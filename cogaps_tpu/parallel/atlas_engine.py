@@ -94,13 +94,15 @@ def build_side(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                      n_rows=n_rows, nnz_pad=nnz_pad)
 
 
-def rebuild_plane(plane, side: AtlasSide, partner, k: int):
+def rebuild_plane(plane, idx_arr, drpack, partner, k: int):
     """plane[j//2, half*64 + c] = partner[idx[j], c]; dr lanes merged.
-    Chunked takes + in-place dynamic updates (donated plane)."""
+    Chunked takes + in-place dynamic updates (donated plane). idx_arr /
+    drpack are passed as ARGUMENTS (not closed over): baked-in constants
+    of this size blow the remote-compile payload limit."""
     m = partner.shape[0]
     pad = jnp.zeros((m, 64 - k), jnp.float32)
     part64 = jnp.concatenate([partner, pad], axis=1)  # (m, 64)
-    nnz = side.nnz_pad
+    nnz = idx_arr.shape[0]
     tc = min(TAKE_CHUNK, nnz)
     tc -= tc % 2
     n_chunks = -(-nnz // tc)
@@ -113,8 +115,8 @@ def rebuild_plane(plane, side: AtlasSide, partner, k: int):
 
     def chunk(c, pl_acc):
         j0 = c * tc
-        ix = jax.lax.dynamic_slice_in_dim(side.idx, j0, tc)
-        dp = jax.lax.dynamic_slice_in_dim(side.drpack, j0 // 2,
+        ix = jax.lax.dynamic_slice_in_dim(idx_arr, j0, tc)
+        dp = jax.lax.dynamic_slice_in_dim(drpack, j0 // 2,
                                           tc // 2)
         v = jnp.take(part64, ix, axis=0)  # (tc, 64)
         v2 = v.reshape(tc // 2, 128)
@@ -196,6 +198,12 @@ class AtlasEngine:
                                 prows=self.side_a.nnz_pad // 2)
         self.ap_p = AtlasParams(group=group, seg=seg,
                                 prows=self.side_p.nnz_pad // 2)
+        self._arrs = dict(
+            idx_a=jax.device_put(self.side_a.idx),
+            dr_a=jax.device_put(self.side_a.drpack),
+            idx_p=jax.device_put(self.side_p.idx),
+            dr_p=jax.device_put(self.side_p.drpack),
+            rowid_p=_rowid(self.side_p))
         self._step = jax.jit(
             functools.partial(self._iteration_impl),
             static_argnames=("phase", "with_chisq"),
@@ -226,7 +234,8 @@ class AtlasEngine:
 
     # ------------------------------------------------------------------
     def _iteration_impl(self, state: AtlasState, stats: RunStats,
-                        it, seed_key, *, phase: int, with_chisq: bool):
+                        it, seed_key, arrs, *, phase: int,
+                        with_chisq: bool):
         cfg = self.config
         k = self.k
         key_it = jax.random.fold_in(jax.random.fold_in(seed_key, phase),
@@ -244,7 +253,8 @@ class AtlasEngine:
 
         # ---- A phase: plane_a from P, then the A update call ----
         M_p = state.mmir_p[:, :k]
-        plane_a = rebuild_plane(state.plane_a, self.side_a, M_p, k)
+        plane_a = rebuild_plane(state.plane_a, arrs["idx_a"],
+                                arrs["dr_a"], M_p, k)
         z2a = jnp.dot(M_p.T, M_p, preferred_element_type=jnp.float32)
         z2pad_a = jnp.zeros((128, 128), jnp.float32
                             ).at[:k, :k].set(z2a)
@@ -258,7 +268,8 @@ class AtlasEngine:
 
         # ---- P phase: plane_p from the updated A ----
         M_a = mmir_a[:, :k]
-        plane_p = rebuild_plane(state.plane_p, self.side_p, M_a, k)
+        plane_p = rebuild_plane(state.plane_p, arrs["idx_p"],
+                                arrs["dr_p"], M_a, k)
         z2p = jnp.dot(M_a.T, M_a, preferred_element_type=jnp.float32)
         z2pad_p = jnp.zeros((128, 128), jnp.float32
                             ).at[:k, :k].set(z2p)
@@ -280,7 +291,7 @@ class AtlasEngine:
                 return jnp.float32(0.0)
             # plane_p holds A rows at the P-side nonzeros; dot with the
             # LIVE P rows gives the reconstruction at nonzeros
-            Pr = jnp.take(M_p2, self._rowid_p, axis=0)
+            Pr = jnp.take(M_p2, arrs["rowid_p"], axis=0)
             pp = plane_p
             dot_e = jnp.sum(pp[:, :k] * Pr, axis=1)
             dot_o = jnp.sum(pp[:, 64:64 + k] * Pr, axis=1)
@@ -322,16 +333,11 @@ class AtlasEngine:
                                    % self.chisq_every == 0)
             state, stats = self._step(
                 state, stats, jnp.asarray(it, jnp.int32), seed_key,
-                phase=phase, with_chisq=with_chisq)
+                self._arrs, phase=phase, with_chisq=with_chisq)
             if progress is not None:
                 progress(phase, it, state)
         return state, stats
 
-    @property
-    def _rowid_p(self):
-        if not hasattr(self, "_rowid_p_"):
-            self._rowid_p_ = _rowid(self.side_p)
-        return self._rowid_p_
 
 
 
@@ -345,3 +351,133 @@ def _rowid(side: AtlasSide):
     out = np.zeros(side.nnz_pad // 2, np.int32)
     out[: len(body)] = body
     return jnp.asarray(out)
+
+
+# ----------------------------------------------------------------------
+# Checkpointing: the planes are REBUILDABLE from (data, mirrors), so a
+# checkpoint stores only atoms + mirrors + stats (~tens of MB at atlas
+# scale, not the 11+ GB of planes) — the same "persist the generators,
+# not the caches" rule the reference's Archive follows
+# (/root/reference/src/GapsRunner.cpp:225-270).
+# ----------------------------------------------------------------------
+def save_checkpoint(path: str, engine: AtlasEngine, state: AtlasState,
+                    stats, phase: int, it: int, seed: int) -> str:
+    import numpy as _np
+    payload = {
+        "magic": _np.int64(0xC0A75A7),
+        "phase": _np.int32(phase), "iter": _np.int32(it),
+        "seed": _np.int64(seed),
+        "n_genes": _np.int64(engine.n_genes),
+        "n_samples": _np.int64(engine.n_samples),
+        "k": _np.int32(engine.k),
+        "am_mass": _np.asarray(state.atoms_a.mass),
+        "am_elem": _np.asarray(state.atoms_a.elem),
+        "am_n": _np.asarray(state.atoms_a.n),
+        "pm_mass": _np.asarray(state.atoms_p.mass),
+        "pm_elem": _np.asarray(state.atoms_p.elem),
+        "pm_n": _np.asarray(state.atoms_p.n),
+        "mmir_a": _np.asarray(state.mmir_a),
+        "mmir_p": _np.asarray(state.mmir_p),
+    }
+    for f in stats._fields:
+        payload[f"st_{f}"] = _np.asarray(getattr(stats, f))
+    tmp = path + ".tmp"
+    _np.savez_compressed(tmp, **payload)
+    import os as _os
+    _os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+    return path
+
+
+def load_checkpoint(path: str, engine: AtlasEngine):
+    import numpy as _np
+    z = _np.load(path)
+    for name, mine in (("n_genes", engine.n_genes),
+                       ("n_samples", engine.n_samples),
+                       ("k", engine.k)):
+        if int(z[name]) != int(mine):
+            raise ValueError(f"checkpoint {name}={int(z[name])} does not "
+                             f"match engine {name}={mine}")
+    state = AtlasState(
+        atoms_a=AtomTable(mass=jnp.asarray(z["am_mass"]),
+                          elem=jnp.asarray(z["am_elem"]),
+                          n=jnp.asarray(z["am_n"])),
+        atoms_p=AtomTable(mass=jnp.asarray(z["pm_mass"]),
+                          elem=jnp.asarray(z["pm_elem"]),
+                          n=jnp.asarray(z["pm_n"])),
+        mmir_a=jnp.asarray(z["mmir_a"]),
+        mmir_p=jnp.asarray(z["mmir_p"]),
+        plane_a=jnp.zeros((engine.ap_a.prows, 128), jnp.float32),
+        plane_p=jnp.zeros((engine.ap_p.prows, 128), jnp.float32))
+    stats0 = engine.init_stats()
+    stats = stats0.replace(**{f: jnp.asarray(z[f"st_{f}"])
+                              for f in stats0._fields})
+    return (state, stats, int(z["phase"]), int(z["iter"]),
+            int(z["seed"]))
+
+
+def run_atlas(coo, n_patterns: int = 50, n_iterations: int = 2000,
+              seed: int = 42, messages: bool = True, **engine_kw):
+    """Convenience end-to-end atlas run -> CogapsResult (the analog of
+    api.CoGAPS for the atlas regime: single sparse chain, DMA kernel).
+    Fixed matrices / distributed consensus are out of scope for this
+    engine — use the standard api paths for those."""
+    import time as _time
+    from ..engine import SAMPLING
+    from ..params import CogapsParams
+    from ..result import CogapsResult, finalize_statistics
+
+    params = CogapsParams(n_patterns=n_patterns,
+                          n_iterations=n_iterations, seed=seed,
+                          sparse_optimization=True)
+    cfg = params.engine_config(coo.shape[0], coo.shape[1])
+    eng = AtlasEngine(coo, cfg, **engine_kw)
+    state = eng.init_state()
+    stats = eng.init_stats()
+    key = jax.random.PRNGKey(seed)
+    t0 = _time.time()
+    for phase in (EQUILIBRATION, SAMPLING):
+        if messages:
+            print(f"atlas phase {phase}: {n_iterations} iterations",
+                  flush=True)
+        state, stats = eng.run_phase(state, stats, key, phase)
+    stats_h = jax.device_get(stats)
+    amean, asd, pmean, psd = finalize_statistics(
+        stats_h.a_sum, stats_h.a_sumsq, stats_h.p_sum, stats_h.p_sumsq,
+        stats_h.n_stat)
+    # meanChiSq over the nonzeros from the P-side structure (never
+    # densifies): dot_j = amean[gene_j] . pmean[sample_j]
+    ix = np.asarray(eng.side_p.idx)
+    rid = np.asarray(_rowid(eng.side_p))
+    val = np.asarray(eng.side_p.val)
+    live = val > 0
+    ga = amean[ix]                       # (nnz_pad, k)
+    sa = pmean[np.repeat(rid, 2)[: len(ix)]]
+    dot = np.einsum("jk,jk->j", ga, sa)
+    z2a = amean.T @ amean
+    z2p = pmean.T @ pmean
+    from ..models.sparse import BETA as _B
+    zero_part = float((z2a * z2p).sum()) - float((dot[live] ** 2).sum())
+    nnz_part = float((((1.0 - dot[live] / val[live]) ** 2)).sum())
+    mcs = _B * (max(zero_part, 0.0) + nnz_part)
+    diagnostics = {
+        "meanChiSq": mcs,
+        "seed": seed,
+        "totalRunningTime": _time.time() - t0,
+        "totalUpdates": int(stats_h.upd_hi) * (1 << 30)
+        + int(stats_h.upd_lo),
+        "chisqHistory": np.asarray(stats_h.chisq_hist),
+        "atomHistoryA": np.asarray(stats_h.atom_hist_a),
+        "atomHistoryP": np.asarray(stats_h.atom_hist_p),
+        "engine": "AtlasEngine",
+    }
+    k = n_patterns
+    return CogapsResult(
+        Amean=np.asarray(amean, np.float32),
+        Asd=np.asarray(asd, np.float32),
+        Pmean=np.asarray(pmean, np.float32),
+        Psd=np.asarray(psd, np.float32),
+        mean_chi_sq=mcs,
+        gene_names=[f"Gene_{i}" for i in range(coo.shape[0])],
+        sample_names=[f"Sample_{i}" for i in range(coo.shape[1])],
+        pattern_names=[f"Pattern_{i + 1}" for i in range(k)],
+        diagnostics=diagnostics)

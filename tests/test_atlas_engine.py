@@ -81,8 +81,8 @@ def test_rebuild_plane_values():
     partner = jnp.asarray(rng.gamma(2.0, 1.0, (coo.shape[1], k)
                                     ).astype(np.float32))
     plane = np.asarray(ae.rebuild_plane(
-        jnp.zeros((side.nnz_pad // 2, 128), jnp.float32), side,
-        partner, k))
+        jnp.zeros((side.nnz_pad // 2, 128), jnp.float32), side.idx,
+        side.drpack, partner, k))
     idx = np.asarray(side.idx)
     val = np.asarray(side.val)
     pn = np.asarray(partner)
@@ -162,3 +162,68 @@ def test_atlas_vs_xla_sparse_equilibrium():
     atlas_chisq = float(sp.sparse_chisq(ell_a, M_a, M_p))
     assert 0.4 * ref_chisq < atlas_chisq < 2.5 * ref_chisq, (
         atlas_chisq, ref_chisq)
+
+
+@pytest.mark.slow
+def test_atlas_kernel_matches_xla_oracle_per_call():
+    """Strongest oracle: every update call of the atlas kernel, from
+    the kernel's own trajectory, replayed through ops/sweep.run_updates
+    with models/sparse.make_model on identical state/keys — budgets,
+    sweep counts, per-type acceptance and the factor matrix must agree
+    (values to reduction-order tolerance)."""
+    from cogaps_tpu.models import sparse as sp
+    from cogaps_tpu.ops.sweep import run_updates
+    import cogaps_tpu.parallel.atlas_engine as ae_mod
+    import cogaps_tpu.ops.pallas_atlas as pa
+
+    coo = _toy_coo(G=64, S=48, k=3, seed=3, density=0.5)
+    eng = _mk_engine(coo, k=3, n_iter=120, seed=11)
+    state = eng.init_state()
+    stats = eng.init_stats()
+    key = jax.random.PRNGKey(11)
+    k = eng.k
+    ell_a = sp.coo_to_ell(np.asarray(coo.rows, np.int32),
+                          np.asarray(coo.cols, np.int32),
+                          np.asarray(coo.vals), coo.shape[0])
+    ell_p = sp.coo_to_ell(np.asarray(coo.cols, np.int32),
+                          np.asarray(coo.rows, np.int32),
+                          np.asarray(coo.vals), coo.shape[1])
+
+    orig = pa.run_updates_atlas
+    calls = []
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        calls.append((a, out))
+        return out
+
+    ae_mod.run_updates_atlas = spy
+    try:
+        from cogaps_tpu.engine import EQUILIBRATION as EQ
+        for it in range(8):
+            calls.clear()
+            pre_mmir_p = state.mmir_p
+            state, stats = eng._iteration_impl(
+                state, stats, jnp.asarray(it, jnp.int32), key,
+                eng._arrs, phase=EQ, with_chisq=False)
+            for nm, (a, out), ell, partner in (
+                    ("A", calls[0], ell_a, pre_mmir_p[:, :k]),
+                    ("P", calls[1], ell_p, calls[0][1][1][:, :k])):
+                (key2, atoms, mmir, vcol, z2v, colnzv, temp, n_steps,
+                 consts, mass, app) = a
+                model = sp.make_model(ell, sp.make_sparse_phase(partner))
+                a2, M2, _, done, ns, cnt = run_updates(
+                    key2, atoms, mmir[:, :k], (), temp, n_steps, consts,
+                    mass, model=model)
+                assert int(done) == int(out[2]), (it, nm)
+                assert int(ns) == int(out[3]), (it, nm)
+                np.testing.assert_array_equal(
+                    np.asarray(cnt.accepted), np.asarray(out[4].accepted),
+                    err_msg=f"it={it} {nm}")
+                Mk = np.asarray(out[1][:, :k])
+                Mo = np.asarray(M2)
+                np.testing.assert_allclose(Mk, Mo, atol=5e-3,
+                                           rtol=1e-4,
+                                           err_msg=f"it={it} {nm}")
+    finally:
+        ae_mod.run_updates_atlas = orig

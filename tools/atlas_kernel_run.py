@@ -1,0 +1,111 @@
+"""Atlas-scale single-chip run on the DMA sweep kernel
+(ops/pallas_atlas + parallel/atlas_engine) — the successor to
+tools/atlas_slice.py's XLA-sweep measurement (artifacts/ATLAS_RUN.json:
+21k updates/s at 30k x 50k k=50, bound by serialized XLA gathers).
+
+Usage: python tools/atlas_kernel_run.py [n_cells] [k] [iters] [batch]
+Writes artifacts/ATLAS_KERNEL_RUN.json.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from atlas_slice import synth_coo  # noqa: E402
+
+
+def main():
+    n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+    batch = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+    n_genes = 30_000
+    nnz_per_cell = 450
+
+    import jax
+    import jax.numpy as jnp
+    from cogaps_tpu.engine import EQUILIBRATION
+    from cogaps_tpu.io.h5 import CooMatrix
+    from cogaps_tpu.params import CogapsParams
+    from cogaps_tpu.parallel.atlas_engine import AtlasEngine
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    rows, cols, vals = synth_coo(n_genes, n_cells, nnz_per_cell, rng)
+    print(f"synth: {len(vals)/1e6:.1f}M nnz in {time.time()-t0:.0f}s",
+          flush=True)
+    coo = CooMatrix(rows=rows.astype(np.int64), cols=cols.astype(np.int64),
+                    vals=vals, shape=(n_genes, n_cells))
+
+    params = CogapsParams(n_patterns=k, n_iterations=2000, seed=17,
+                          sparse_optimization=True)
+    cfg = params.engine_config(n_genes, n_cells)
+    t0 = time.time()
+    eng = AtlasEngine(coo, cfg, batch=batch, capacity=1 << 19)
+    print(f"engine build: {time.time()-t0:.0f}s  planes: "
+          f"{eng.ap_a.prows*128*4/1e9:.2f}+{eng.ap_p.prows*128*4/1e9:.2f}"
+          f" GB", flush=True)
+
+    state = eng.init_state()
+    stats = eng.init_stats()
+    key = jax.random.PRNGKey(17)
+
+    t0 = time.time()
+    state, stats = eng.run_phase(state, stats, key, EQUILIBRATION,
+                                 stop_iter=2)
+    jax.device_get(state.atoms_a.n)
+    print(f"compile + 2 iters: {time.time()-t0:.0f}s", flush=True)
+
+    # equilibrate a while so budgets reflect a growing atom field
+    warm = 40
+    t0 = time.time()
+    state, stats = eng.run_phase(state, stats, key, EQUILIBRATION,
+                                 start_iter=2, stop_iter=warm)
+    jax.device_get(state.atoms_a.n)
+    print(f"warm to it={warm}: {time.time()-t0:.0f}s  atoms_a="
+          f"{int(state.atoms_a.n)} atoms_p={int(state.atoms_p.n)}",
+          flush=True)
+
+    upd0 = (int(jax.device_get(stats.upd_hi)) * (1 << 30)
+            + int(jax.device_get(stats.upd_lo)))
+    t0 = time.time()
+    state, stats = eng.run_phase(state, stats, key, EQUILIBRATION,
+                                 start_iter=warm, stop_iter=warm + iters)
+    jax.device_get(state.atoms_a.n)
+    dt = time.time() - t0
+    upd1 = (int(jax.device_get(stats.upd_hi)) * (1 << 30)
+            + int(jax.device_get(stats.upd_lo)))
+    ups = (upd1 - upd0) / dt
+    print(f"{iters} iters: {dt:.1f}s -> {ups:,.0f} updates/s "
+          f"({dt/iters*1000:.0f} ms/iter)", flush=True)
+
+    out = {
+        "config": f"{n_genes}x{n_cells} k={k} nnz={len(vals)}",
+        "engine": "AtlasEngine (DMA sweep kernel, ops/pallas_atlas)",
+        "batch": batch,
+        "iters_measured": iters,
+        "elapsed_s": round(dt, 2),
+        "updates_per_second": round(ups, 1),
+        "ms_per_iteration": round(dt / iters * 1000, 1),
+        "atoms_a_at_measurement": int(state.atoms_a.n),
+        "atoms_p_at_measurement": int(state.atoms_p.n),
+        "vs_xla_sweep_atlas_run": round(ups / 21166.9, 1),
+        "backend": jax.default_backend(),
+        "notes": [
+            "same 30k-gene synthetic atlas class as ATLAS_RUN.json "
+            "(XLA sweep: 21,167 updates/s, 4.6 s/iteration)",
+            "per-iteration cost = 2 plane rebuilds (chunked XLA takes "
+            "over nnz rows) + 2 DMA-kernel update calls; the rebuild "
+            "is the floor (~10 ns/gathered row, measured)",
+        ],
+    }
+    with open("artifacts/ATLAS_KERNEL_RUN.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
