@@ -96,7 +96,7 @@ def _matvec(x):
 def _sweep_atlas(consts: SamplerConsts, ap: AtlasParams, uni, tri, state,
                  temp, n_steps_f, lam, mgm, z2v, colnzv,
                  mmir, vcol, mb1, mb2, gb1, gb2, stgv, stgs, accv,
-                 sem, wsem, ssem):
+                 colv, accr, sem, wsem, ssem):
     """One batched sweep over (1, B) lanes. Proposal / conflict /
     acceptance / atom-table sections mirror ops/pallas_sweep._sweep_b
     (NCH=1) exactly; alpha terms come from DMA'd plane segments."""
@@ -299,6 +299,18 @@ def _sweep_atlas(consts: SamplerConsts, ap: AtlasParams, uni, tri, state,
     nmax = jax.lax.fori_loop(0, B, nmax_body, jnp.float32(1.0)
                              ).astype(jnp.int32)
 
+    # per-lane sublane columns, packed into lanes of one (B, 128)
+    # scratch ref so the group fori_loop can slice them dynamically:
+    # lane 0 = len1, 1 = nch1, 2 = len2, 3 = nch2, 4 = c1, 5 = c2
+    lane_b128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+
+    def _at(i):
+        return (lane_b128 == i).astype(F32)
+
+    colv[:] = (len1c * _at(0) + nch1c * _at(1) + len2c * _at(2)
+               + nch2c * _at(3) + c1s * _at(4) + c2s * _at(5))
+    accr[:] = jnp.zeros((B, 128), F32)
+
     # static per-group helpers
     rowpos = jax.lax.broadcasted_iota(jnp.int32, (GS, 1), 0) % SEG
     lane_gs = jax.lax.broadcasted_iota(jnp.int32, (GS, 128), 1)
@@ -318,8 +330,10 @@ def _sweep_atlas(consts: SamplerConsts, ap: AtlasParams, uni, tri, state,
     jj_ = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     shift64 = (jj_ == ii + 64).astype(F32)
 
+    lane_gs128 = lane_gs  # (GS, 128) iota, already built
+
     def group_reduce(gbuf, Mg, cblk_sel, len_blk, chk_off, nch_blk,
-                     want_pair):
+                     want_pair, lane_base):
         """Per-(nonzero,half) scalar extraction + closed-form partial
         sums for one group's fetched segments. Returns (G, 10):
         [sv2, st2, msum, esum, svd2, svdr2, smsame, sesame, apg, pad]
@@ -372,105 +386,117 @@ def _sweep_atlas(consts: SamplerConsts, ap: AtlasParams, uni, tri, state,
         se = halfsums(v1_e, v2_e, dr_e, dr2_e, ap_e)
         so = halfsums(v1_o, v2_o, dr_o, dr2_o, ap_o)
         parts = [a + b for a, b in zip(se, so)]  # 8 x (GS, 1)
-        stacked = jnp.concatenate(parts, axis=1)  # (GS, 8)
+        # lane-masked placement instead of an (GS, 8) concat + 8-lane
+        # matmuls (8-lane matmul operands crash this compiler); the
+        # blocksum contracts SUBLANES, the proven pattern
+        stacked = parts[0] * (lane_gs128 == lane_base).astype(F32)
+        for i, pt in enumerate(parts[1:], start=1):
+            stacked = stacked + pt * (lane_gs128
+                                      == lane_base + i).astype(F32)
         return jax.lax.dot_general(
             blockmap, stacked, (((0,), (0,)), ((), ())),
-            preferred_element_type=F32, precision=_PREC)  # (G, 8)
+            preferred_element_type=F32, precision=_PREC)  # (G, 128)
 
-    # chunked fetch-reduce loop over plane segments
-    def chunk_body(carry):
-        chk, acc1, acc2 = carry
+    # chunked fetch-reduce loop over plane segments. Groups iterate in
+    # a lax.fori_loop (NOT python-unrolled): the unrolled body made the
+    # Mosaic program ~NGRP x larger and pushed atlas-scale compiles
+    # past 50 minutes. All per-group state lives in refs (mb1/mb2,
+    # colv, accr) and is sliced with dynamic offsets.
+    def group_body(g, chk):
+        def p_issue(jj, car):
+            j = g * G + jj
+
+            @pl.when((stgs[2, j] > 0.0)
+                     & (stgs[5, j] > chk.astype(F32)))
+            def _():
+                pp = stgs[4, j].astype(jnp.int32) + chk * SEG
+                pltpu.make_async_copy(
+                    vcol.at[pl.ds(pp, SEG)],
+                    gb1.at[pl.ds(jj * SEG, SEG)],
+                    sem.at[jj % ap.nsem]).start()
+
+            @pl.when((stgs[3, j] > 0.0)
+                     & (stgs[7, j] > chk.astype(F32)))
+            def _():
+                pp = stgs[6, j].astype(jnp.int32) + chk * SEG
+                pltpu.make_async_copy(
+                    vcol.at[pl.ds(pp, SEG)],
+                    gb2.at[pl.ds(jj * SEG, SEG)],
+                    sem.at[(jj + 7) % ap.nsem]).start()
+
+            return car
+
+        def p_drain(jj, car):
+            j = g * G + jj
+
+            @pl.when((stgs[2, j] > 0.0)
+                     & (stgs[5, j] > chk.astype(F32)))
+            def _():
+                pp = stgs[4, j].astype(jnp.int32) + chk * SEG
+                pltpu.make_async_copy(
+                    vcol.at[pl.ds(pp, SEG)],
+                    gb1.at[pl.ds(jj * SEG, SEG)],
+                    sem.at[jj % ap.nsem]).wait()
+
+            @pl.when((stgs[3, j] > 0.0)
+                     & (stgs[7, j] > chk.astype(F32)))
+            def _():
+                pp = stgs[6, j].astype(jnp.int32) + chk * SEG
+                pltpu.make_async_copy(
+                    vcol.at[pl.ds(pp, SEG)],
+                    gb2.at[pl.ds(jj * SEG, SEG)],
+                    sem.at[(jj + 7) % ap.nsem]).wait()
+
+            return car
+
+        jax.lax.fori_loop(0, G, p_issue, 0)
+        jax.lax.fori_loop(0, G, p_drain, 0)
+
         chk_off = jnp.broadcast_to(chk, (GS, 1)).astype(jnp.int32)
-        for g in range(NGRP):
+        Mg1 = mb1[pl.ds(g * G, G)]
+        Mg2 = mb2[pl.ds(g * G, G)]
+        cg = colv[pl.ds(g * G, G)]  # (G, 128)
 
-            def p_issue(jj, car):
-                j = g * G + jj
+        # fresh (G, 128) lane iota: SLICING the sublane dim of a
+        # lane-iota crashes the compiler (its layout is sublane-
+        # compressed to one tile: "limits[i] <= dim(i)")
+        lane_g128 = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
 
-                @pl.when((stgs[2, j] > 0.0)
-                         & (stgs[5, j] > chk.astype(F32)))
-                def _():
-                    p = (stgs[4, j].astype(jnp.int32)
-                         + chk * SEG)
-                    pltpu.make_async_copy(
-                        vcol.at[pl.ds(p, SEG)],
-                        gb1.at[pl.ds(jj * SEG, SEG)],
-                        sem.at[jj % ap.nsem]).start()
+        def col(i):
+            return _mm(cg * (lane_g128 == i).astype(F32),
+                       jnp.ones((128, 1), F32))
 
-                @pl.when((stgs[3, j] > 0.0)
-                         & (stgs[7, j] > chk.astype(F32)))
-                def _():
-                    p = (stgs[6, j].astype(jnp.int32)
-                         + chk * SEG)
-                    pltpu.make_async_copy(
-                        vcol.at[pl.ds(p, SEG)],
-                        gb2.at[pl.ds(jj * SEG, SEG)],
-                        sem.at[(jj + 7) % ap.nsem]).start()
+        len1b = _mm(blockmap, col(0))
+        nch1b = _mm(blockmap, col(1))
+        len2b = _mm(blockmap, col(2))
+        nch2b = _mm(blockmap, col(3))
+        c1b = _mm(blockmap, col(4))
+        c2b = _mm(blockmap, col(5))
+        sel1 = (laneh.astype(F32) == c1b).astype(F32)
+        sel2 = (laneh.astype(F32) == c2b).astype(F32)
+        r1g = group_reduce(gb1[:], Mg1, (sel1, sel2), len1b,
+                           chk_off, nch1b, True, 0)
+        r2g = group_reduce(gb2[:], Mg2, (sel2, sel2), len2b,
+                           chk_off, nch2b, False, 8)
+        accr[pl.ds(g * G, G)] = (accr[pl.ds(g * G, G)] + r1g + r2g)
+        return chk
 
-                return car
+    import os as _os
+    _unroll = _os.environ.get("COGAPS_ATLAS_UNROLL", "0") == "1"
 
-            def p_drain(jj, car):
-                j = g * G + jj
+    def chunk_body(chk):
+        if _unroll:
+            for g in range(NGRP):
+                group_body(jnp.int32(g), chk)
+        else:
+            jax.lax.fori_loop(0, NGRP, group_body, chk)
+        return chk + 1
 
-                @pl.when((stgs[2, j] > 0.0)
-                         & (stgs[5, j] > chk.astype(F32)))
-                def _():
-                    p = (stgs[4, j].astype(jnp.int32)
-                         + chk * SEG)
-                    pltpu.make_async_copy(
-                        vcol.at[pl.ds(p, SEG)],
-                        gb1.at[pl.ds(jj * SEG, SEG)],
-                        sem.at[jj % ap.nsem]).wait()
+    def chunk_cond(chk):
+        return chk < nmax
 
-                @pl.when((stgs[3, j] > 0.0)
-                         & (stgs[7, j] > chk.astype(F32)))
-                def _():
-                    p = (stgs[6, j].astype(jnp.int32)
-                         + chk * SEG)
-                    pltpu.make_async_copy(
-                        vcol.at[pl.ds(p, SEG)],
-                        gb2.at[pl.ds(jj * SEG, SEG)],
-                        sem.at[(jj + 7) % ap.nsem]).wait()
-
-                return car
-
-            jax.lax.fori_loop(0, G, p_issue, 0)
-            jax.lax.fori_loop(0, G, p_drain, 0)
-
-            sl = slice(g * G, (g + 1) * G)
-            Mg1 = M1[sl]  # (G, 128)
-            Mg2 = M2[sl]
-            len1b = _mm(blockmap, len1c[sl])  # (GS, 1)
-            nch1b = _mm(blockmap, nch1c[sl])
-            len2b = _mm(blockmap, len2c[sl])
-            nch2b = _mm(blockmap, nch2c[sl])
-            c1b = _mm(blockmap, c1s[sl])
-            c2b = _mm(blockmap, c2s[sl])
-            sel1 = (laneh.astype(F32) == c1b).astype(F32)
-            sel2 = (laneh.astype(F32) == c2b).astype(F32)
-            r1g = group_reduce(gb1[:], Mg1, (sel1, sel2), len1b,
-                               chk_off, nch1b, True)
-            r2g = group_reduce(gb2[:], Mg2, (sel2, sel2), len2b,
-                               chk_off, nch2b, False)
-            def place(r):
-                pieces = []
-                if g > 0:
-                    pieces.append(jnp.zeros((g * G, 8), F32))
-                pieces.append(r)
-                if (g + 1) * G < B:
-                    pieces.append(jnp.zeros((B - (g + 1) * G, 8), F32))
-                return (pieces[0] if len(pieces) == 1
-                        else jnp.concatenate(pieces, axis=0))
-
-            acc1 = acc1 + place(r1g)
-            acc2 = acc2 + place(r2g)
-        return chk + 1, acc1, acc2
-
-    def chunk_cond(carry):
-        return carry[0] < nmax
-
-    z8 = jnp.zeros((B, 8), F32)
-    _, acc1, acc2 = jax.lax.while_loop(chunk_cond, chunk_body,
-                                       (jnp.int32(0), z8, z8))
+    jax.lax.while_loop(chunk_cond, chunk_body, jnp.int32(0))
+    accs = accr[:]  # (B, 128): lanes 0-7 = stream1 sums, 8-15 = stream2
 
     # Z-side per-lane quantities (sublane (B,1))
     mz1 = _matvec(M1 * Z2C1 * vlane)
@@ -483,11 +509,14 @@ def _sweep_atlas(consts: SamplerConsts, ap: AtlasParams, uni, tri, state,
     can2c = _matvec(ohc2S * colb)
     old1c = _matvec(M1 * ohc1S * vlane)
     old2c = _matvec(M2 * ohc2S * vlane)
-    extra = jnp.concatenate([mz1, mzx, mz2, z1c1, z1c2, z2c12, can1c,
-                             can2c, old1c, old2c], axis=1)  # (B, 10)
-    allcols = jnp.concatenate([acc1, acc2, extra,
-                               jnp.zeros((B, NACC - 26), F32)], axis=1)
-    # sublane -> lane: (B, NACC) -> (NACC, B)
+    # lane-placed extras at lanes 16-25 of the (B, 128) accumulator
+    # (no small-lane concats — 8-lane operands crash this compiler)
+    extras = (mz1, mzx, mz2, z1c1, z1c2, z2c12, can1c, can2c, old1c,
+              old2c)
+    allcols = accs
+    for i, e in enumerate(extras):
+        allcols = allcols + e * _at(16 + i)
+    # sublane -> lane: (B, 128) -> (128, B)
     rowsT_mm = jax.lax.dot_general(allcols, idB, (((0,), (0,)), ((), ())),
                                    preferred_element_type=F32,
                                    precision=_PREC)
@@ -732,8 +761,8 @@ def _kernel_atlas(consts, ap: AtlasParams, s_max, use_prng,
                   uni_ref, mass_ref, elem_ref, z2_ref, colnz_ref,
                   scal_ref, mmir_in, vcol_ref,
                   omass_ref, oelem_ref, ocnt_ref, mmir_ref,
-                  mb1, mb2, gb1, gb2, stgv, stgs, accv, sem, wsem,
-                  ssem):
+                  mb1, mb2, gb1, gb2, stgv, stgs, accv, colv, accr,
+                  sem, wsem, ssem):
     """Whole update call: while_loop over sweeps, all addressing by
     DMA. mmir_ref is the aliased in/out M mirror in HBM."""
     B = consts.batch
@@ -779,7 +808,7 @@ def _kernel_atlas(consts, ap: AtlasParams, s_max, use_prng,
         st = _sweep_atlas(consts, ap, uni, tri, st, temp, n_steps_f,
                           lam, mgm, z2v, colnzv, mmir_ref, vcol_ref,
                           mb1, mb2, gb1, gb2, stgv, stgs, accv,
-                          sem, wsem, ssem)
+                          colv, accr, sem, wsem, ssem)
         return (s + 1, st)
 
     z = jnp.zeros((1, 1), F32)
@@ -828,7 +857,9 @@ def call_atlas_kernel(uni, atoms: AtomTable, mmir, vcol, z2v, colnzv,
             pltpu.VMEM((G * SEG, 128), F32),
             pltpu.VMEM((G * SEG, 128), F32),
             pltpu.VMEM((8, B), F32), pltpu.SMEM((8, B), F32),
-            pltpu.VMEM((NACC, B), F32),
+            pltpu.VMEM((128, B), F32),
+            pltpu.VMEM((B, 128), F32),
+            pltpu.VMEM((B, 128), F32),
             pltpu.SemaphoreType.DMA((ap.nsem,)),
             pltpu.SemaphoreType.DMA((ap.nsem,)),
             pltpu.SemaphoreType.DMA(()),

@@ -158,7 +158,7 @@ class AtlasEngine:
     (genes x samples), never densified."""
 
     def __init__(self, coo, config: EngineConfig, batch: int = 512,
-                 group: int = 32, seg: int = 384,
+                 group: int = 32, seg: int = 96,
                  capacity: Optional[int] = None, s_max: int = 64,
                  chisq_every: int = 8,
                  interpret: Optional[bool] = None):

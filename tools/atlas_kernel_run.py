@@ -44,7 +44,7 @@ def main():
                           sparse_optimization=True)
     cfg = params.engine_config(n_genes, n_cells)
     t0 = time.time()
-    eng = AtlasEngine(coo, cfg, batch=batch, capacity=1 << 19)
+    eng = AtlasEngine(coo, cfg, batch=batch, capacity=1 << 18)
     print(f"engine build: {time.time()-t0:.0f}s  planes: "
           f"{eng.ap_a.prows*128*4/1e9:.2f}+{eng.ap_p.prows*128*4/1e9:.2f}"
           f" GB", flush=True)
