@@ -247,8 +247,12 @@ class CogapsParams:
             # wide batches use the uncontested-only conflict rule
             # (ops/sweep.py), whose expected survivor count
             # B*exp(-B/n_rows) peaks at B ~ n_rows — oversampling past
-            # that only wastes draws
-            return max(32, min(1024, _next_pow2(n_rows)))
+            # that only wastes draws. Above ~64k rows the fused
+            # kernel's slab-major row tables already dominate scoped
+            # VMEM; a 1024-wide sweep then overflows the ~110 MB cap
+            # (measured at 120k rows), so tall samplers cap at 512.
+            cap = 512 if n_rows >= (1 << 16) else 1024
+            return max(32, min(cap, _next_pow2(n_rows)))
 
         def default_capacity(n_bins: int) -> int:
             # stationary atom counts on real data sit well under 0.5

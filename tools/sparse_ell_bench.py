@@ -44,8 +44,14 @@ def main():
     coo = CooMatrix(rows=rows.astype(np.int64), cols=cols.astype(np.int64),
                     vals=vals, shape=(G, S))
 
+    # batch 256 + reduced atom capacities: the defaults (B=1024,
+    # capacity_a=2^17) overflow scoped VMEM at this scale — the
+    # VMEM-resident kernel's atom-table slabs scale with capacity
     params = CogapsParams(n_patterns=k, n_iterations=2000, seed=11,
-                          sparse_optimization=True, output_frequency=0)
+                          sparse_optimization=True, output_frequency=0,
+                          batch_size_a=256, batch_size_p=256,
+                          atom_capacity_a=1 << 16,
+                          atom_capacity_p=1 << 18)
     cfg = params.engine_config(G, S)
     t0 = time.time()
     eng = SparseGapsEngine(coo, cfg)
