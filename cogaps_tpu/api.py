@@ -176,11 +176,13 @@ def _run_single(D: np.ndarray, params: CogapsParams, uncertainty,
         engine = SparseGapsEngine(D, config)
         import jax as _jax
         if (_jax.default_backend() not in ("cpu",)
-                and engine.data.Wd_a is None and params.print_messages):
+                and engine.config.sparse_table_mode == "xla"
+                and params.print_messages):
             log_message(
-                "Note: data exceeds the fused sparse kernel's dense-"
-                "weight bound; running through the XLA sweep (use the "
-                "sharded atlas path for data this large)")
+                "Note: data exceeds the fused sparse kernel's VMEM "
+                "bounds; running through the XLA sweep (use "
+                "parallel.atlas_engine.run_atlas — the HBM-DMA atlas "
+                "kernel — for data this large)")
     else:
         engine = GapsEngine(D, uncertainty, config)
 

@@ -22,8 +22,8 @@ def main():
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 24
     batch = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+    nnz_per_cell = int(sys.argv[5]) if len(sys.argv) > 5 else 450
     n_genes = 30_000
-    nnz_per_cell = 450
 
     import jax
     import jax.numpy as jnp
@@ -60,7 +60,7 @@ def main():
     print(f"compile + 2 iters: {time.time()-t0:.0f}s", flush=True)
 
     # equilibrate a while so budgets reflect a growing atom field
-    warm = 40
+    warm = int(sys.argv[6]) if len(sys.argv) > 6 else 40
     t0 = time.time()
     state, stats = eng.run_phase(state, stats, key, EQUILIBRATION,
                                  start_iter=2, stop_iter=warm)
