@@ -53,12 +53,13 @@ def _resolve_sparse_mode(n_genes: int, n_samples: int, k: int) -> str:
     if n_genes * n_samples <= _FAST_PATH_MAX_ELEMS:
         return "dense"
     if ((n_genes + n_samples) * k * k <= _ELL_TABLE_MAX_ELEMS
-            and max(n_genes, n_samples) <= (1 << 16)):
-        # past ~64k rows on either axis the VMEM-resident sweep kernel
-        # overflows scoped VMEM regardless of batch/capacity tuning
-        # (measured: 20k x 120k k=7 needs 114M vs the ~110M cap even at
-        # B=256, capacity 2^16) — that regime belongs to the HBM-DMA
-        # atlas kernel (parallel/atlas_engine.AtlasEngine / run_atlas)
+            and max(n_genes, n_samples) <= (1 << 15)):
+        # tall data overflows the VMEM-resident sweep kernel's scoped
+        # VMEM regardless of batch/capacity tuning (measured k=7: 20k x
+        # 120k needs 114M vs the ~110M cap even at B=256/capacity 2^16;
+        # 20k x 60k also OOMs; boundary not bisected below that) — that
+        # regime belongs to the HBM-DMA atlas kernel
+        # (parallel/atlas_engine.AtlasEngine / run_atlas)
         return "ell"
     return "xla"
 

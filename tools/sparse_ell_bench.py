@@ -8,13 +8,14 @@ exceeds the dense-weight bound, while the ELL-native table builder's
 ingestion is CooMatrix -> ELL (models/sparse.coo_to_ell), and
 per-iteration tables come from models/sparse.kernel_tables_ell.
 
-Scale ceiling (measured round 5): past ~64k rows on either axis the
-VMEM-resident sweep kernel overflows scoped VMEM (20k x 120k k=7
-needs 114M vs the ~110M cap even at B=256 / capacity 2^16), so the
-mode resolver routes such data to the XLA sweep and the >=100k-cell
-regime belongs to the HBM-DMA atlas kernel — measured separately in
-artifacts/ATLAS_KERNEL_RUN_120K.json (tools/atlas_kernel_run.py
-120000 7 24 512 160). This bench pins the largest ELL-mode scale.
+Scale ceiling (measured round 5): tall data overflows the
+VMEM-resident sweep kernel's scoped VMEM (20k x 120k k=7 needs 114M
+vs the ~110M cap even at B=256 / capacity 2^16; 20k x 60k OOMs the
+same way), so the mode resolver gates "ell" to max-dim <= 2^15 and
+the >=100k-cell regime belongs to the HBM-DMA atlas kernel —
+measured separately in artifacts/ATLAS_KERNEL_RUN_120K.json
+(tools/atlas_kernel_run.py 120000 7 24 512 160 400). This bench pins
+the largest ELL-mode scale.
 
 Usage: python tools/sparse_ell_bench.py [genes] [cells] [nnz_per_cell] [iters]
 Writes artifacts/SPARSE_ELL_BENCH.json.
@@ -33,7 +34,7 @@ from atlas_slice import synth_coo  # noqa: E402
 
 def main():
     G = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
-    S = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
+    S = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
     nnz_per_cell = int(sys.argv[3]) if len(sys.argv) > 3 else 300
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 60
     k = 7
